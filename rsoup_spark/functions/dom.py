@@ -1,0 +1,197 @@
+"""Minimal deterministic HTML DOM built on the stdlib ``html.parser``.
+
+The reference engine (binh-vu/rsoup) parses HTML with html5ever
+(``/root/reference/src/extractors/mod.rs:20-25``).  No third-party HTML
+parser is available in this environment, so we build a small tree parser
+on top of :class:`html.parser.HTMLParser`.  It is intentionally simple:
+
+* entity references are decoded (``convert_charrefs=True``), matching
+  html5ever's behaviour for ``&nbsp;`` etc.;
+* void elements never take children;
+* adjacent text chunks are merged into a single text node (html5ever
+  also produces one text node per run);
+* mismatched end tags pop up to the nearest matching open tag and are
+  otherwise ignored (a pragmatic subset of html5 error recovery --
+  divergences from html5ever's foster-parenting rules are documented
+  in the test-suite; our fixtures are well-formed).
+
+Parse semantics only matter relative to our own synthesized fixtures,
+per SURVEY.md §7 risk 2.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+TEXT = "text"
+ELEMENT = "element"
+DOCUMENT = "document"
+
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Elements whose raw content is character data, never markup.
+RAWTEXT_ELEMENTS = frozenset({"script", "style"})
+
+
+class Node:
+    """One DOM node: document root, element, or text."""
+
+    __slots__ = ("kind", "tag", "attrs", "text", "children", "parent")
+
+    def __init__(
+        self,
+        kind: str,
+        tag: str = "",
+        attrs: Optional[dict[str, str]] = None,
+        text: str = "",
+    ) -> None:
+        self.kind = kind
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs or {}
+        self.text = text
+        self.children: list[Node] = []
+        self.parent: Optional[Node] = None
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    @property
+    def is_element(self) -> bool:
+        return self.kind == ELEMENT
+
+    @property
+    def is_text(self) -> bool:
+        return self.kind == TEXT
+
+    # -- traversal helpers ------------------------------------------------
+    def iter_subtree(self) -> Iterator["Node"]:
+        """Preorder traversal including self."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def next_siblings(self) -> Iterator["Node"]:
+        if self.parent is None:
+            return
+        seen = False
+        for sib in self.parent.children:
+            if seen:
+                yield sib
+            elif sib is self:
+                seen = True
+
+    # -- queries (the subset of CSS the reference tests use) --------------
+    def find_all(self, tag: str) -> list["Node"]:
+        """All descendant elements with the given tag, document order."""
+        out = []
+        for node in self.iter_subtree():
+            if node is not self and node.is_element and node.tag == tag:
+                out.append(node)
+        return out
+
+    def find_by_id(self, el_id: str) -> Optional["Node"]:
+        for node in self.iter_subtree():
+            if node.is_element and node.attrs.get("id") == el_id:
+                return node
+        return None
+
+    def find_by_class(self, cls: str) -> list["Node"]:
+        out = []
+        for node in self.iter_subtree():
+            if node.is_element and cls in node.attrs.get("class", "").split():
+                out.append(node)
+        return out
+
+    def outer_text(self) -> str:
+        parts = []
+        for node in self.iter_subtree():
+            if node.is_text:
+                parts.append(node.text)
+        return "".join(parts)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.is_text:
+            return f"Text({self.text!r})"
+        return f"<{self.tag} children={len(self.children)}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node(DOCUMENT)
+        self.stack: list[Node] = [self.root]
+
+    # -- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attr_map: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_map:  # first occurrence wins (html5 rule)
+                attr_map[k] = v if v is not None else ""
+        node = Node(ELEMENT, tag=tag, attrs=attr_map)
+        self.stack[-1].append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        attr_map: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_map:
+                attr_map[k] = v if v is not None else ""
+        self.stack[-1].append(Node(ELEMENT, tag=tag, attrs=attr_map))
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignored (error recovery)
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        parent = self.stack[-1]
+        if parent.children and parent.children[-1].is_text:
+            parent.children[-1].text += data
+        else:
+            parent.append(Node(TEXT, text=data))
+
+    # comments / doctype / PIs are dropped, as the reference ignores them
+    def handle_comment(self, data: str) -> None:
+        pass
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+
+def parse_document(html: str) -> Node:
+    """Parse a full HTML document; returns the document root node."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def parse_fragment(html: str) -> Node:
+    """Parse an HTML fragment; returns a pseudo-root element wrapping it.
+
+    Mirrors html5ever's ``parse_fragment`` which wraps content in an
+    ``<html>`` element (see the reference test
+    ``tests/extractors/test_text_extractor.rs:37,88-89``).
+    """
+    doc = parse_document(html)
+    wrapper = Node(ELEMENT, tag="html")
+    for child in doc.children:
+        wrapper.append(child)
+    return wrapper
