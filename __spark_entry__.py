@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction (documents -> synthesized
+HTML -> interleaved spans per BASELINE.json input_hint).  ``queries()``
+exposes one DataFrame callable per implemented operator from SURVEY.md
+§2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (the rest get rows-only checks).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from rsoup_spark.operators.extract import (
+    extract_spans,
+    extract_tables,
+    links_from_spans,
+)
+from rsoup_spark.ops.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from rsoup_spark.ops.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_ann_topk,
+)
+from rsoup_spark.ops.textstats import (
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    rolling_fingerprints,
+    token_count,
+)
+from rsoup_spark.sources.docs import load_table, synth_html_docs
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents -> HTML -> interleaved spans, exploded."""
+    docs = synth_html_docs(spark, "/root/testdata/sf0.001")
+    spans = extract_spans(docs, "url", "html")
+    s = F.explode("spans").alias("s")
+    return spans.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by several queries
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def _canon_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    from rsoup_spark.functions.urlnorm import canonicalize_url
+
+    return pd.Series(
+        [canonicalize_url(h, b) or "" for h, b in zip(href, base)]
+    )
+
+
+def _spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_html_docs(spark, sf_dir)
+    spans = extract_spans(docs, "url", "html")
+    s = F.posexplode("spans").alias("pos", "s")
+    return spans.select("doc_id", s).select(
+        F.split(F.col("doc_id"), "/").getItem(4).cast("bigint").alias("doc_id"),
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_ext_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O7 + input_hint spans: full interleaved span sequence per doc."""
+    return _spans_flat(spark, sf_dir).orderBy("doc_id", "pos")
+
+
+def q_ext_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8-O13, O18: table extraction + span/pad + id assignment."""
+    docs = synth_html_docs(spark, sf_dir)
+    tables = extract_tables(docs)
+    cells = F.transform(
+        "rows", lambda r: F.transform(r["cells"], lambda c: c["value"]["text"])
+    )
+    return tables.select(
+        F.col("id").alias("table_id"),
+        F.col("url").alias("url"),
+        F.col("n_rows"),
+        F.col("n_cols"),
+        cells.getItem(0).getItem(0).alias("cell_0_0"),
+        cells.getItem(0).getItem(1).alias("cell_0_1"),
+        cells.getItem(1).getItem(0).alias("cell_1_0"),
+        cells.getItem(1).getItem(1).alias("cell_1_1"),
+        F.col("rows").getItem(0)["cells"].getItem(0)["is_header"].alias("hdr_0_0"),
+        F.col("rows").getItem(1)["cells"].getItem(0)["is_header"].alias("hdr_1_0"),
+    )
+
+
+def q_ext_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14-O16: heading hierarchy around each table."""
+    docs = synth_html_docs(spark, sf_dir)
+    tables = extract_tables(docs)
+    return tables.select(
+        F.col("url"),
+        F.size("context").cast("int").alias("n_levels"),
+        F.col("context").getItem(1)["level"].alias("level_1"),
+        F.col("context").getItem(1)["heading"]["text"].alias("heading_1"),
+        F.size(F.col("context").getItem(1)["content_before"])
+        .cast("int")
+        .alias("n_before"),
+        F.col("context")
+        .getItem(1)["content_after"]
+        .getItem(0)["text"]
+        .alias("after_0"),
+    )
+
+
+def q_ext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17/link harvest: anchors from span arrays."""
+    docs = synth_html_docs(spark, sf_dir)
+    links = links_from_spans(extract_spans(docs, "url", "html"))
+    return links.select("src_url", "href", "anchor_text")
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graft op: RFC3986 canonicalization of harvested hrefs."""
+    links = q_ext_links(spark, sf_dir)
+    return links.select(
+        "src_url",
+        "href",
+        _canon_udf(F.col("href"), F.col("src_url")).alias("canon_url"),
+    )
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (groupBy + map-side partial agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (orders x customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_rel_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join: lineitem -> supplier -> nation -> region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality scoring, content fingerprint (ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy).  The corpus is unioned with an
+    id-shifted copy of itself so the check is non-trivial at every sf."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    groups = exact_duplicates(both)
+    return groups.select(
+        "fingerprint",
+        "n_docs",
+        "keep_id",
+        F.array_join(
+            F.transform("all_ids", lambda x: x.cast("string")), ","
+        ).alias("dup_ids"),
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (shingle inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, ngram=3, threshold=0.5)
+
+
+def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (tau sized to the synthetic
+    embedding distribution, max pairwise cos ~0.6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, tau=0.4)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a deterministic query subset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+# -- rows-only checks (non-SQL-expressible in DuckDB) -----------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, ngram=3, num_hashes=64, bands=16,
+                             threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_lang(F.col("text")).alias("pred_lang"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_ann_topk(emb, queries, k=5)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return rolling_fingerprints(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ext_spans": q_ext_spans,
+        "ext_tables": q_ext_tables,
+        "ext_context": q_ext_context,
+        "ext_links": q_ext_links,
+        "url_canonicalize": q_url_canonicalize,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_customers": q_rel_top_customers,
+        "rel_order_rank": q_rel_order_rank,
+        "rel_events_hourly": q_rel_events_hourly,
+        "rel_region_revenue": q_rel_region_revenue,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "sim_topk": q_sim_topk,
+        # rows-only (no SQL equivalent): LSH/banding internals + pandas UDFs
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "ann_lsh_topk": q_ann_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# the synthesized page pieces, as SQL expressions over documents columns
+# the table renders on one line: tr/td are not block elements
+# (text/mod.rs:26-33), only <table> itself breaks the line
+_FLAT_BODY = (
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) || "
+    "'lang source ' || lang || ' ' || source || chr(10) || 'Tags: '"
+)
+_H1 = "'Doc ' || doc_id"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stopwords = ",".join(f"'{w}'" for w in
+                         ("the", "a", "of", "to", "and", "is", "in", "it"))
+    return {
+        "ext_spans": f"""
+WITH base AS (
+  SELECT doc_id,
+         {_H1} AS h1_text,
+         {_FLAT_BODY} AS body_text,
+         lang, source
+  FROM documents
+)
+SELECT doc_id, pos, kind, "text", media_ref, "offset" FROM (
+  SELECT doc_id, 0 AS pos, 'h1' AS kind, h1_text AS "text", '' AS media_ref,
+         0 AS "offset" FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'text', body_text, '', length(h1_text) + 1 FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'a', lang, '/' || source || '/' || doc_id,
+         length(h1_text) + 1 + length(body_text) FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'img', '', '/img/' || doc_id || '.png',
+         length(h1_text) + 1 + length(body_text) + length(lang) FROM base
+) ORDER BY doc_id, pos
+""",
+        "ext_tables": """
+SELECT 'https://docs.test/' || source || '/' || doc_id || '?table_no=0' AS table_id,
+       'https://docs.test/' || source || '/' || doc_id AS url,
+       2 AS n_rows, 2 AS n_cols,
+       'lang' AS cell_0_0, 'source' AS cell_0_1,
+       lang AS cell_1_0, source AS cell_1_1,
+       TRUE AS hdr_0_0, FALSE AS hdr_1_0
+FROM documents
+""",
+        "ext_context": f"""
+SELECT 'https://docs.test/' || source || '/' || doc_id AS url,
+       2 AS n_levels, 1 AS level_1,
+       {_H1} AS heading_1,
+       1 AS n_before,
+       'Tags: ' || lang AS after_0
+FROM documents
+""",
+        "ext_links": """
+SELECT 'https://docs.test/' || source || '/' || doc_id AS src_url,
+       '/' || source || '/' || doc_id AS href,
+       lang AS anchor_text
+FROM documents
+""",
+        "url_canonicalize": """
+SELECT 'https://docs.test/' || source || '/' || doc_id AS src_url,
+       '/' || source || '/' || doc_id AS href,
+       'https://docs.test/' || source || '/' || doc_id AS canon_url
+FROM documents
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+        "rel_order_rank": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+        "rel_events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "rel_region_revenue": """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+        "text_stats": f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       round(
+         0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+       + 0.3 * (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t IN ({stopwords})))
+                / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+       + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / greatest(length(text), 1)), 6) AS quality,
+       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS dup_ids
+FROM doubled
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+        "dedup_jaccard": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+  FROM t WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
+""",
+        "emb_dup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+""",
+        "sim_topk": """
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id % 50 = 0
+) WHERE rank <= 5
+""",
+    }

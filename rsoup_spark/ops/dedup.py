@@ -1,0 +1,310 @@
+"""Deduplication operators over a documents table.
+
+Scale design notes (the part the 100TB plan hangs on):
+
+* exact dedup       -- one shuffle on a 32-char md5 key; map-side
+                       partial agg applies; no Python.
+* jaccard near-dup  -- shingle inverted-index join: explode distinct
+                       shingles, self-join on shingle, count common,
+                       filter by |A∩B| / (|A|+|B|-|A∩B|).  The join key
+                       is the shingle, so hot shingles are the skew
+                       risk: a df cap (``max_doc_freq``) drops
+                       stop-shingles before the join, which is both a
+                       quality and a skew fix (standard trick).
+* minhash LSH       -- k minhashes from one 64-bit hash per shingle
+                       (splitmix64 re-mix, no per-perm hashing), banded
+                       into b buckets; candidate pairs only within a
+                       band bucket -> the cross product never
+                       materializes.  Verification joins back to exact
+                       jaccard.
+* simhash           -- 64-bit simhash per doc; near-dups = hamming
+                       distance <= k, found by pigeonhole banding
+                       (split 64 bits into k+1 chunks, bucket-join on
+                       any equal chunk).
+
+Every operator returns plain DataFrames keyed by doc ids, smallest id
+first, so results are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import collapsed, doc_fingerprint, tokens
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after whitespace collapse) documents.
+
+    Returns (fingerprint, n_docs, keep_id, dup_ids) for groups with >1 doc.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(text_col, n: int):
+    """Distinct word n-grams as an array column (JVM-side).
+
+    n=1 -> distinct words; n>1 -> space-joined sliding windows built
+    with transform over token indices.
+    """
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All unordered doc pairs with shingle-set Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    decimals for portable comparison.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles(F.col(text_col), ngram).alias("shingles"),
+    )
+    sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
+    posting = base.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            posting.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig array<long>): MinHash signature over word n-grams.
+
+    One xxhash64 per shingle (JVM-side), then ``num_hashes`` cheap
+    re-mixes h_i = splitmix-style mix(shingle_hash XOR seed_i), min per
+    i -- aggregate over the exploded postings, fully codegen, no Python.
+    """
+    posting = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(F.col(text_col), ngram)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    # deterministic per-permutation mixers: xxhash64(h, i) is itself a
+    # strong 64-bit mix and stays in the JVM
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = posting.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by
+    signature similarity.
+
+    Returns (id_a, id_b, sim) where sim = fraction of matching minhashes
+    (>= threshold), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
+    sig = sig.persist()
+
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.xxhash64(chunk.cast("string")).alias("key")
+            )
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    cand = (
+        a.join(b2, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(num_hashes),
+                6,
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over word hashes, computed
+    relationally: explode words -> per-bit +/-1 votes -> sum -> sign."""
+    posting = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = posting.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return agg.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: with k = max_hamming, split 64 bits into k+1
+    chunks; any pair within distance k agrees on >= 1 whole chunk, so
+    bucket-join per chunk and verify with bit_count(xor).
+    """
+    k = max_hamming + 1
+    width = 64 // k
+    sh = simhash64(docs, id_col, text_col).persist()
+
+    chunks = []
+    for c in range(k):
+        shift = c * width
+        shifted = F.shiftrightunsigned("simhash", shift)
+        if c < k - 1:
+            # low chunks need masking; the top chunk is already clean
+            # after the unsigned shift (mask would overflow signed 64
+            # when width == 64)
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        chunks.append(
+            F.struct(F.lit(c).alias("chunk"), shifted.alias("key"))
+        )
+    buckets = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("bk")
+    ).select("doc_id", "simhash", "bk.chunk", "bk.key")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale defaults.
+
+Design notes (SURVEY.md §4):
+* AQE on -- runtime shuffle coalescing + skew-join splitting.
+* Arrow on, with a bounded batch size: HTML documents can be MBs each,
+  so `maxRecordsPerBatch` is kept small to bound executor/Python-worker
+  memory (default 10k rows would OOM on big pages).
+* shuffle partitions scale with cores so the N -> 4N scaling-efficiency
+  target holds (BASELINE.md protocol); on a real cluster this would be
+  executors * cores * 2-3.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "rsoup-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        cores = cpus if n in ("", "*") else int(n)
+        shuffle_partitions = max(8, cores * 2)
+
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
