@@ -1,0 +1,338 @@
+"""From-scratch distributed URL frontier + politeness scheduler.
+
+North-rule semantics (BASELINE.json): extracted anchors are
+canonicalized (RFC 3986 + lowercase host + strip fragment),
+deduplicated against a partitioned Bloom URL-seen set sharded by
+host-hash, and scheduled through a per-host politeness priority queue
+(crawl-delay, robots allow/deny, score/depth priority).  State is
+checkpointed per round with per-partition lineage + metrics so any run
+resumes exactly.
+
+Round algorithm (mirrored 1:1 by the oracle simulator in oracle.py --
+crawl-order and seen-set equality are asserted in tests):
+
+1. candidates = frontier |x| broadcast(robots); URLs whose path matches
+   a disallow prefix are dropped for good (counted).
+2. per-host budget b = max(1, floor(round_seconds / crawl_delay)):
+   rank per host by (score desc, depth asc, url asc), keep rank <= b.
+3. global batch: order by (score desc, depth asc, url asc), limit
+   batch_size -> the round's crawl order (deterministic total order;
+   physical plan is TakeOrderedAndProject, no full sort materialized).
+4. fetch scheduled URLs from the page store (left join on url).
+5. harvest anchors from spans (Arrow UDF), canonicalize against the
+   source URL, keep http(s), dedup within the round.
+6. Bloom filter-and-insert per host-hash shard (partition-local), then
+   exact anti-join against the seen table as the correctness backstop.
+7. new frontier entries: depth = min(parent depth)+1, score =
+   max(parent score) * decay; frontier' = (allowed - scheduled) + new.
+
+Shuffle budget per round: one window shuffle on host (politeness), one
+repartition on shard_id (Bloom), one anti-join on url (backstop --
+dropped at production scale where the Bloom is authoritative), the
+top-k is a reduce.  Robots is always broadcast.  AQE handles skewed
+hosts; host 0 in the fixture is deliberately 10x hot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from .bloom import empty_shards, filter_and_update, with_shard_cols
+
+DECAY = 0.85
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = 64
+    round_seconds: float = 10.0
+    max_rounds: int = 50
+    n_shards: int = 64
+    m_bits: int = 1 << 20
+    bloom_k: int = 5
+    host_salt_shards: int = 4  # sub-split hot hosts inside shuffles
+
+
+def _canon_links(links: DataFrame) -> DataFrame:
+    """(src_url, href) -> (url, host): canonical http(s) targets."""
+
+    @F.pandas_udf(StringType())
+    def canon(href: pd.Series, base: pd.Series) -> pd.Series:
+        from ..functions.urlnorm import canonicalize_url
+
+        return pd.Series(
+            [canonicalize_url(h, b) or "" for h, b in zip(href, base)]
+        )
+
+    return (
+        links.select(canon("href", "src_url").alias("url"),
+                     F.col("src_url"))
+        .where(F.col("url") != "")
+    )
+
+
+class CrawlEngine:
+    """Iterative-batch crawl driver.
+
+    Rounds are deterministic batch jobs (not Structured Streaming):
+    crawl-order equality under a fixed seed list requires batch
+    barriers a continuous trigger can't give (SURVEY.md §2.2).  Each
+    round ends in one checkpoint = frontier/seen/shards/metrics
+    parquet + a manifest; ``resume`` restarts from the last manifest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        ckpt_dir: str,
+        config: CrawlConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.ckpt = ckpt_dir
+        self.pages = pages.select("url", "html")
+        robots = robots.withColumn(
+            "budget",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(self.cfg.round_seconds) / F.col("crawl_delay")),
+            ).cast("int"),
+        )
+        self.robots = robots.persist()
+
+    # -- state io -----------------------------------------------------------
+    def _path(self, round_no: int, name: str) -> str:
+        return os.path.join(self.ckpt, f"round={round_no}", name)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt, "manifest.json")
+
+    def _write_manifest(self, round_no: int, done: bool) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": round_no, "done": done}, f)
+        os.replace(tmp, self._manifest_path())
+
+    def init_state(self, seeds: DataFrame) -> None:
+        os.makedirs(self.ckpt, exist_ok=True)
+        frontier = seeds.select(
+            "url",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            "depth",
+            "score",
+        )
+        frontier.write.mode("overwrite").parquet(self._path(0, "frontier"))
+        seeds.select("url").write.mode("overwrite").parquet(
+            self._path(0, "seen")
+        )
+        shards = empty_shards(self.spark, self.cfg.n_shards, self.cfg.m_bits)
+        # charge the seeds into the bloom so rediscovered seeds dedup
+        seed_cand = with_shard_cols(frontier, "url", "host", self.cfg.n_shards)
+        _, shards = filter_and_update(
+            seed_cand, shards, self.cfg.n_shards, self.cfg.m_bits,
+            self.cfg.bloom_k,
+        )
+        shards.write.mode("overwrite").parquet(self._path(0, "shards"))
+        self._write_manifest(0, False)
+
+    def last_round(self) -> tuple[int, bool]:
+        with open(self._manifest_path()) as f:
+            m = json.load(f)
+        return m["round"], m["done"]
+
+    # -- one round -----------------------------------------------------------
+    def run_round(self, r: int) -> dict:
+        """Round r reads round r-1 state and writes round r state."""
+        cfg = self.cfg
+        t0 = time.time()
+        frontier = self.spark.read.parquet(self._path(r - 1, "frontier"))
+        seen = self.spark.read.parquet(self._path(r - 1, "seen"))
+        shards = self.spark.read.parquet(self._path(r - 1, "shards"))
+
+        # 1. robots gate (broadcast join; parse_url stays in codegen)
+        cand = frontier.join(F.broadcast(self.robots), "host", "left")
+        path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/"))
+        blocked_cond = F.exists(
+            F.coalesce("disallow_prefixes", F.array()),
+            lambda p: path.startswith(p),
+        )
+        cand = cand.withColumn("blocked", blocked_cond).persist()
+        n_candidates = cand.count()
+        n_blocked = cand.where("blocked").count()
+        allowed = cand.where(~F.col("blocked"))
+
+        # 2. per-host politeness budget
+        w = Window.partitionBy("host").orderBy(
+            F.desc("score"), F.asc("depth"), F.asc("url")
+        )
+        eligible = (
+            allowed.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= F.coalesce("budget", F.lit(1)))
+        )
+
+        # 3. global deterministic batch (top-k, not a full sort)
+        scheduled = (
+            eligible.orderBy(F.desc("score"), F.asc("depth"), F.asc("url"))
+            .limit(cfg.batch_size)
+            .select("url", "host", "depth", "score")
+            .persist()
+        )
+        order_df = scheduled.orderBy(
+            F.desc("score"), F.asc("depth"), F.asc("url")
+        ).select(
+            F.lit(r).alias("round"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("score"), F.asc("depth"), F.asc("url"))
+            )
+            .alias("rank"),
+            "url",
+            "host",
+            "depth",
+            "score",
+        )
+        order_df.write.mode("overwrite").parquet(self._path(r, "order"))
+        n_scheduled = scheduled.count()
+
+        # 4.-5. fetch + harvest + canonicalize
+        from ..operators.extract import harvest_links
+
+        fetched = scheduled.join(self.pages, "url", "left").persist()
+        n_fetched = fetched.where(F.col("html").isNotNull()).count()
+        links = harvest_links(
+            fetched.where(F.col("html").isNotNull()), "url", "html"
+        )
+        canon = _canon_links(links)
+
+        # per-parent dedup then per-round aggregation: depth/score from
+        # the best parent, deterministic (min/max)
+        parent = scheduled.select(
+            F.col("url").alias("src_url"),
+            F.col("depth").alias("p_depth"),
+            F.col("score").alias("p_score"),
+        )
+        discovered = (
+            canon.join(parent, "src_url")
+            .groupBy("url")
+            .agg(
+                (F.min("p_depth") + 1).cast("int").alias("depth"),
+                F.round(F.max("p_score") * DECAY, 9).alias("score"),
+            )
+            .withColumn(
+                "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+            )
+        )
+        n_links = discovered.count()
+
+        # 6. bloom dedup (partition-local per shard) + exact backstop
+        cand_new = with_shard_cols(
+            discovered, "url", "host", cfg.n_shards
+        ).repartition(cfg.n_shards, "shard_id")
+        probably_new, new_shards = filter_and_update(
+            cand_new, shards, cfg.n_shards, cfg.m_bits, cfg.bloom_k
+        )
+        probably_new = probably_new.persist()
+        n_bloom_new = probably_new.count()
+        new_urls = probably_new.join(seen, "url", "left_anti").select(
+            "url", "host", "depth", "score"
+        ).persist()
+        n_new = new_urls.count()
+
+        # 7. next state
+        next_frontier = (
+            allowed.join(scheduled.select("url"), "url", "left_anti")
+            .select("url", "host", "depth", "score")
+            .unionByName(new_urls)
+        )
+        next_frontier.write.mode("overwrite").parquet(
+            self._path(r, "frontier")
+        )
+        seen.unionByName(new_urls.select("url")).write.mode(
+            "overwrite"
+        ).parquet(self._path(r, "seen"))
+        new_shards.write.mode("overwrite").parquet(self._path(r, "shards"))
+
+        # per-partition lineage: which partition produced how many
+        # scheduled rows (north_rule: per-partition lineage + metrics)
+        lineage = (
+            scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("urls_scheduled"))
+            .withColumn("round", F.lit(r))
+        )
+        lineage.write.mode("overwrite").parquet(self._path(r, "lineage"))
+
+        metrics = {
+            "round": r,
+            "n_candidates": n_candidates,
+            "n_blocked": n_blocked,
+            "n_scheduled": n_scheduled,
+            "n_fetched": n_fetched,
+            "n_discovered": n_links,
+            "n_bloom_new": n_bloom_new,
+            "n_new": n_new,
+            "bloom_false_positives": n_bloom_new - n_new,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+        with open(self._path(r, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        self._write_manifest(r, done=n_scheduled == 0)
+
+        for df in (cand, scheduled, fetched, probably_new, new_urls):
+            df.unpersist()
+        return metrics
+
+    # -- driver loop ----------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None,
+            resume: bool = False) -> list[dict]:
+        if resume:
+            start, done = self.last_round()
+            if done:
+                return []
+        else:
+            assert seeds is not None, "fresh run needs seeds"
+            self.init_state(seeds)
+            start = 0
+        history = []
+        for r in range(start + 1, self.cfg.max_rounds + 1):
+            m = self.run_round(r)
+            history.append(m)
+            if m["n_scheduled"] == 0:
+                break
+        return history
+
+    # -- results -------------------------------------------------------------
+    def crawl_order(self) -> list[tuple[int, int, str]]:
+        last, _ = self.last_round()
+        out = []
+        for r in range(1, last + 1):
+            p = self._path(r, "order")
+            if not os.path.exists(p):
+                continue
+            rows = (
+                self.spark.read.parquet(p)
+                .orderBy("round", "rank")
+                .select("round", "rank", "url")
+                .collect()
+            )
+            out.extend((row["round"], row["rank"], row["url"]) for row in rows)
+        return out
+
+    def seen_set(self) -> set[str]:
+        last, _ = self.last_round()
+        return {
+            r["url"]
+            for r in self.spark.read.parquet(
+                self._path(last, "seen")
+            ).collect()
+        }

@@ -1,0 +1,100 @@
+"""Single-process oracle crawler.
+
+Implements the exact round semantics of ``frontier.CrawlEngine`` (the
+numbered spec in its module docstring) over the ground-truth link graph,
+in plain Python.  The engine's crawl order and final seen set must equal
+this simulator's output under the same seeds, robots, and politeness
+budget (BASELINE.json correctness clause).  rsoup itself has no crawler,
+so this simulator *is* the reference behaviour we define and test
+against (FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import math
+from urllib.parse import urlsplit
+
+DECAY = 0.85
+
+
+def simulate(
+    graph: dict[str, list[str]],
+    seeds: list[tuple[str, float, int]],
+    robots: list[tuple[str, list[str], float]],
+    batch_size: int = 64,
+    round_seconds: float = 10.0,
+    max_rounds: int = 50,
+) -> tuple[list[tuple[int, int, str]], set[str]]:
+    """-> (crawl order [(round, rank, url)], final seen set).
+
+    ``graph`` maps canonical url -> canonical out-links (missing key =
+    fetch miss).  ``seeds`` are (url, score, depth).
+    """
+    budgets = {
+        host: max(1, math.floor(round_seconds / delay))
+        for host, _prefixes, delay in robots
+    }
+    disallow = {host: prefixes for host, prefixes, _d in robots}
+
+    def host_of(url: str) -> str:
+        return urlsplit(url).netloc.lower()
+
+    def is_blocked(url: str) -> bool:
+        path = urlsplit(url).path or "/"
+        return any(
+            path.startswith(p) for p in disallow.get(host_of(url), [])
+        )
+
+    # frontier: url -> (depth, score)
+    frontier = {u: (d, s) for u, s, d in seeds}
+    seen = {u for u, _s, _d in seeds}
+    order: list[tuple[int, int, str]] = []
+
+    for r in range(1, max_rounds + 1):
+        # 1. robots gate: blocked urls leave the frontier permanently
+        allowed = {
+            u: ds for u, ds in frontier.items() if not is_blocked(u)
+        }
+
+        # 2. per-host budget, priority (score desc, depth asc, url asc)
+        by_host: dict[str, list[str]] = {}
+        for u in allowed:
+            by_host.setdefault(host_of(u), []).append(u)
+        eligible = []
+        for host, urls in by_host.items():
+            urls.sort(key=lambda u: (-allowed[u][1], allowed[u][0], u))
+            eligible.extend(urls[: budgets.get(host, 1)])
+
+        # 3. global deterministic batch
+        eligible.sort(key=lambda u: (-allowed[u][1], allowed[u][0], u))
+        scheduled = eligible[:batch_size]
+        if not scheduled:
+            break
+        for rank, u in enumerate(scheduled, start=1):
+            order.append((r, rank, u))
+
+        # 4.-5. fetch + harvest (ground-truth out-links)
+        discovered: dict[str, tuple[int, float]] = {}
+        for u in scheduled:
+            pd_, ps = allowed[u]
+            for target in graph.get(u, []):
+                d, s = discovered.get(target, (1 << 30, -1.0))
+                discovered[target] = (
+                    min(d, pd_ + 1),
+                    max(s, round(ps * DECAY, 9)),
+                )
+
+        # 6. dedup against seen
+        new_urls = {
+            u: ds for u, ds in discovered.items() if u not in seen
+        }
+
+        # 7. next state
+        sched = set(scheduled)
+        frontier = {
+            u: ds for u, ds in allowed.items() if u not in sched
+        }
+        frontier.update(new_urls)
+        seen.update(new_urls)
+
+    return order, seen
