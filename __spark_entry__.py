@@ -233,6 +233,72 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets (SURVEY §2.2): revenue by region with
+    subtotals and a grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "gid",
+        )
+    )
+
+
+def q_set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (frontier-update algebra: old EXCEPT scheduled UNION new).
+    Demonstrated over orders: urgent minus high-value, union low-value."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    high = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+    low = orders.where(F.col("o_totalprice") < 1000).select("o_orderkey")
+    return urgent.exceptAll(high).unionByName(low).distinct()
+
+
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization via window lag: a >30-minute gap starts a
+    new session; returns per-session event counts and bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(epoch - F.lag(epoch, 1, 0).over(w) > 1800, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.withColumn(
+        "session_no", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, content fingerprint (ops)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -323,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_rank": q_rel_order_rank,
         "rel_events_hourly": q_rel_events_hourly,
         "rel_region_revenue": q_rel_region_revenue,
+        "rel_rollup_revenue": q_rel_rollup_revenue,
+        "set_except_union": q_set_except_union,
+        "rel_sessionize": q_rel_sessionize,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -450,6 +519,46 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
+""",
+        "rel_rollup_revenue": """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(l_extendedprice), 2) AS revenue,
+       grouping(r_name, n_name) AS gid
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        "set_except_union": """
+SELECT DISTINCT o_orderkey FROM (
+  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   EXCEPT ALL
+   SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_totalprice < 1000
+)
+""",
+        "rel_sessionize": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1, 0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_no
 """,
         "text_stats": f"""
 SELECT doc_id,

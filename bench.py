@@ -1,0 +1,94 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed to a noop sink (full pipeline, no driver
+collect).  `value` is total wall seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from rsoup_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm up JVM + Python workers so the first timed query isn't
+    # charged for process spin-up
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    run_noop(spark.range(1000).select(_warm("id").alias("id")))
+
+    headline = [
+        "ext_spans",
+        "ext_tables",
+        "ext_links",
+        "url_canonicalize",
+        "rel_pricing_summary",
+        "rel_top_customers",
+        "rel_order_rank",
+        "rel_events_hourly",
+        "rel_region_revenue",
+        "text_stats",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_topk",
+        "ann_lsh_topk",
+        "lang_id",
+        "winnow_fingerprints",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        run_noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # extraction throughput: docs/sec over the synthesized corpus
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    docs_per_sec = round(n_docs / max(timings["ext_spans"], 1e-9), 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extraction_docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

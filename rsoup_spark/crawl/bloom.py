@@ -86,11 +86,22 @@ def _bit_set(blob: np.ndarray, pos: np.ndarray) -> None:
 
 
 def with_shard_cols(df: DataFrame, url_col: str, host_col: str,
-                    n_shards: int) -> DataFrame:
-    """Adds url_hash (xxhash64, JVM-side) and shard_id columns."""
-    return df.withColumn("url_hash", F.xxhash64(F.col(url_col))).withColumn(
+                    n_shards: int, salt: int = 4) -> DataFrame:
+    """Adds url_hash (xxhash64, JVM-side) and shard_id columns.
+
+    Sharding is by host-hash with ``salt`` sub-shards per host
+    (north_rule: "host-hash salting handles hot-domain skew"): a hot
+    host's URLs spread over ``salt`` Bloom shards instead of
+    serializing one partition.  The mapping stays a pure function of
+    the URL, so membership semantics are unchanged.
+    """
+    df = df.withColumn("url_hash", F.xxhash64(F.col(url_col)))
+    return df.withColumn(
         "shard_id",
-        F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_shards)).cast("int"),
+        F.pmod(
+            F.xxhash64(F.col(host_col), F.pmod("url_hash", F.lit(salt))),
+            F.lit(n_shards),
+        ).cast("int"),
     )
 
 
@@ -106,6 +117,7 @@ def filter_and_update(
     n_shards: int,
     m_bits: int,
     k: int = 5,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One pass per shard: test candidates against the shard's Bloom,
     keep probably-unseen ones, and emit the updated shard blob.
@@ -151,7 +163,10 @@ def filter_and_update(
     result = grouped.applyInPandas(
         lambda key, l, r: process(key, l, r), blob_schema
     )
-    result = result.persist()
+    if persist:
+        # both outputs derive from one pass over the shard state; cache
+        # it so unseen + new_shards don't re-run the cogroup
+        result = result.persist()
 
     unseen = result.where(F.col("__unseen") == 1).select(*cand_cols)
     touched = (

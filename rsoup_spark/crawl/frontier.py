@@ -172,13 +172,26 @@ class CrawlEngine:
         n_blocked = cand.where("blocked").count()
         allowed = cand.where(~F.col("blocked"))
 
-        # 2. per-host politeness budget
-        w = Window.partitionBy("host").orderBy(
+        # 2. per-host politeness budget, two-phase against hot-host skew:
+        # pre-rank within (host, url-salt) sub-partitions, keep the
+        # per-salt top-budget (a superset of the per-host top-budget),
+        # then the per-host rank sorts only salt*budget rows per host
+        budget = F.coalesce("budget", F.lit(1))
+        w1 = Window.partitionBy("host", "salt").orderBy(
+            F.desc("score"), F.asc("depth"), F.asc("url")
+        )
+        w2 = Window.partitionBy("host").orderBy(
             F.desc("score"), F.asc("depth"), F.asc("url")
         )
         eligible = (
-            allowed.withColumn("host_rank", F.row_number().over(w))
-            .where(F.col("host_rank") <= F.coalesce("budget", F.lit(1)))
+            allowed.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_shards)),
+            )
+            .withColumn("pre_rank", F.row_number().over(w1))
+            .where(F.col("pre_rank") <= budget)
+            .withColumn("host_rank", F.row_number().over(w2))
+            .where(F.col("host_rank") <= budget)
         )
 
         # 3. global deterministic batch (top-k, not a full sort)
@@ -205,15 +218,14 @@ class CrawlEngine:
         order_df.write.mode("overwrite").parquet(self._path(r, "order"))
         n_scheduled = scheduled.count()
 
-        # 4.-5. fetch + harvest + canonicalize
-        from ..operators.extract import harvest_links
+        # 4.-5. fetch + harvest + canonicalize (one fused Python pass)
+        from ..operators.extract import harvest_canonical_links
 
         fetched = scheduled.join(self.pages, "url", "left").persist()
         n_fetched = fetched.where(F.col("html").isNotNull()).count()
-        links = harvest_links(
+        canon = harvest_canonical_links(
             fetched.where(F.col("html").isNotNull()), "url", "html"
         )
-        canon = _canon_links(links)
 
         # per-parent dedup then per-round aggregation: depth/score from
         # the best parent, deterministic (min/max)

@@ -52,6 +52,13 @@ class ContentHierarchy:
             "content_after": [c.to_dict() for c in self.content_after],
         }
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "ContentHierarchy":
+        ch = cls(d["level"], RichText.from_dict(d["heading"]))
+        ch.content_before = [RichText.from_dict(x) for x in d["content_before"]]
+        ch.content_after = [RichText.from_dict(x) for x in d["content_after"]]
+        return ch
+
     def __repr__(self) -> str:  # pragma: no cover
         return (
             f"ContentHierarchy(level={self.level}, heading={self.heading!r}, "

@@ -199,6 +199,25 @@ class Table:
     def to_list(self) -> list[list[str]]:
         return [r.to_list() for r in self.rows]
 
+    # -- iterators (O21: cell_iter.rs/row_iter.rs) -------------------------
+    def get_row(self, ri: int) -> Row:
+        return self.rows[ri]
+
+    def get_cell(self, ri: int, ci: int) -> Cell:
+        return self.rows[ri].cells[ci]
+
+    def iter_rows(self):
+        return iter(self.rows)
+
+    def iter_cells(self):
+        for row in self.rows:
+            yield from row.cells
+
+    def enumerate_cells(self):
+        for ri, row in enumerate(self.rows):
+            for ci, cell in enumerate(row.cells):
+                yield ri, ci, cell
+
     def to_dict(self) -> dict:
         return {
             "id": self.id,
@@ -208,6 +227,46 @@ class Table:
             "context": [c.to_dict() for c in self.context],
             "rows": [r.to_dict() for r in self.rows],
         }
+
+    # -- serialization suite (O20, table.rs:309-390; postcard/base64 are
+    # Rust-specific encodings -- JSON/dict/pickle cover the same fidelity
+    # and Parquet is the columnar path) ------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "Table":
+        return cls(
+            id=d["id"],
+            url=d["url"],
+            caption=d["caption"],
+            attrs=dict(d["attrs"]),
+            context=[ContentHierarchy.from_dict(c) for c in d["context"]],
+            rows=[
+                Row(
+                    [
+                        Cell(
+                            is_header=c["is_header"],
+                            rowspan=c["rowspan"],
+                            colspan=c["colspan"],
+                            attrs=dict(c["attrs"]),
+                            value=RichText.from_dict(c["value"]),
+                        )
+                        for c in r["cells"]
+                    ],
+                    dict(r["attrs"]),
+                )
+                for r in d["rows"]
+            ],
+        )
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_json(cls, s: str) -> "Table":
+        import json
+
+        return cls.from_dict(json.loads(s))
 
 
 # -- URL conversion (url_converter.rs:16-53) -------------------------------

@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, batch shape, partitioning, UDF
+signatures) is real and tested; the actual codec calls are stubbed
+behind ``NotImplementedError`` / a deterministic fake because no
+image/audio libraries exist in this container.  Swapping the stub for
+Pillow/torchaudio is a one-function change -- the dataflow does not
+move.
+
+Scale notes: media bytes ride in ``binary`` columns bounded by
+``arrow.maxBytesPerBatch``; feature extraction is ``mapInPandas`` so a
+128 MB input split streams through the Python worker in byte-bounded
+Arrow batches rather than materializing whole.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def decode_image(data: bytes) -> "np.ndarray":
+    """Real decode is environment-gated: no imaging library ships in
+    this container.  STUB -- replace with PIL.Image.open when present."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (e.g. Pillow); "
+        "not available in this environment"
+    )
+
+
+def fake_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: dim floats derived from the
+    sha256 of the payload, in [-1, 1].  Keeps the pipeline testable and
+    reproducible without codecs."""
+    digest = hashlib.sha256(data).digest()
+    raw = np.frombuffer(digest[: 4 * dim], dtype=np.uint32)
+    return (raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32).tolist()
+
+
+def synth_media(spark: SparkSession, docs: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic media table from a docs table: one fake
+    image + one fake audio blob per doc (bytes from the doc id)."""
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"))
+    img = base.select(
+        F.concat(F.col("doc_id"), F.lit("/img0")).alias("media_id"),
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.concat(F.lit("PNGFAKE:"), F.col("doc_id")), "utf-8")
+        .alias("data"),
+        F.lit(64).alias("width"),
+        F.lit(48).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    aud = base.select(
+        F.concat(F.col("doc_id"), F.lit("/aud0")).alias("media_id"),
+        "doc_id",
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.concat(F.lit("WAVFAKE:"), F.col("doc_id")), "utf-8")
+        .alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(2000).alias("duration_ms"),
+    )
+    return img.unionByName(aud)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media -> (media_id, kind, n_bytes, feature[dim]).
+
+    Arrow-batched; one pass; never materializes more than a batch of
+    blobs in the Python worker.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b) for b in pdf["data"]],
+                    "feature": [fake_feature(bytes(b), dim)
+                                for b in pdf["data"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling *plan*: which timestamps to decode per clip
+    (decode itself is the stubbed step).  Pure relational: sequence +
+    explode, no Python."""
+    vids = media.where(F.col("duration_ms").isNotNull())
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("sample_at_ms"),
+    )

@@ -2,9 +2,10 @@
 
 Design notes (SURVEY.md §4):
 * AQE on -- runtime shuffle coalescing + skew-join splitting.
-* Arrow on, with a bounded batch size: HTML documents can be MBs each,
-  so `maxRecordsPerBatch` is kept small to bound executor/Python-worker
-  memory (default 10k rows would OOM on big pages).
+* Arrow on, with byte-bounded batches: HTML documents can be MBs each,
+  so `maxBytesPerBatch` (not a tiny record cap -- that strangles
+  small-row UDF stages with per-batch overhead) bounds Python-worker
+  memory; the record cap stays high for throughput.
 * shuffle partitions scale with cores so the N -> 4N scaling-efficiency
   target holds (BASELINE.md protocol); on a real cluster this would be
   executors * cores * 2-3.
@@ -16,7 +17,8 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_MAX_RECORDS = 256
+ARROW_MAX_RECORDS = 10_000
+ARROW_MAX_BYTES = "32m"
 
 
 def get_spark(
@@ -43,6 +45,7 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS),
         )
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", ARROW_MAX_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -35,8 +35,23 @@ PAGE_TEMPLATE = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = True
+) -> DataFrame:
+    """Read one testdata table.
+
+    The local sf* tables are single small parquet files, so the scan
+    yields one partition and every downstream Python stage would run
+    on one core.  At production scale the scan is already split by
+    ``spark.sql.files.maxPartitionBytes``; ``split=True`` reproduces
+    that locally with a round-robin repartition when the scan has
+    fewer partitions than the cluster has slots.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if split and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def synth_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

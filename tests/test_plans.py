@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the plan properties the engine
+promises at scale (SURVEY.md §4) must survive refactors."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.mark.spark
+def test_no_row_at_a_time_python_anywhere(spark):
+    """input_hint: vectorized UDFs only -- BatchEvalPython (per-row
+    Python) must never appear in any shipped query plan."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    for name, fn in e.queries().items():
+        assert "BatchEvalPython" not in plan_text(fn(spark, SF_SMALL)), name
+
+
+@pytest.mark.spark
+def test_small_dims_broadcast(spark):
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import has_broadcast_join, has_sort_merge_join
+
+    df = e.q_rel_region_revenue(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+@pytest.mark.spark
+def test_filter_pushdown_reaches_scan(spark):
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import pushed_filters
+
+    df = e.q_rel_pricing_summary(spark, SF_SMALL)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+@pytest.mark.spark
+def test_column_pruning_reaches_scan(spark):
+    """A 3-column aggregate over events must not read props/user_id."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import read_schemas
+
+    df = e.q_rel_events_hourly(spark, SF_SMALL)
+    schemas = read_schemas(df)
+    assert schemas and all("props" not in s for s in schemas)
+
+
+@pytest.mark.spark
+def test_extraction_prunes_unused_columns(spark):
+    """The span-extraction scan must not read n_chars (unused)."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import read_schemas
+
+    df = e.q_ext_spans(spark, SF_SMALL)
+    assert all("n_chars" not in s for s in read_schemas(df))
