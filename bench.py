@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,7 +33,6 @@ def main() -> None:
 
     # warm up JVM + Python workers so the first timed query isn't
     # charged for process spin-up
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -51,6 +52,9 @@ def main() -> None:
         "rel_order_rank",
         "rel_events_hourly",
         "rel_region_revenue",
+        "rel_rollup_revenue",
+        "rel_sessionize",
+        "set_except_union",
         "text_stats",
         "dedup_exact",
         "dedup_jaccard",

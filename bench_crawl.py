@@ -103,6 +103,9 @@ def main() -> None:
     # round runs -- no intermediate materialization); rebuilt fresh per
     # repeat so nothing is cached between runs, best of N
     def frontier_round():
+        """Frontier dataflow as the engine runs it: python harvest+canon
+        -> JVM groupBy(url) (map-side partial agg shrinks the shuffle)
+        -> cogroup bloom -> politeness window over the unique urls."""
         canon = harvest_canonical_links(pages, "url", "html")
         discovered = (
             canon.groupBy("url")
@@ -112,40 +115,38 @@ def main() -> None:
             )
             .withColumn("score", F.lit(1.0))
             .withColumn("depth", F.lit(1))
-        ).persist()
+        )
+        cand = with_shard_cols(discovered, "url", "host", n_shards)
+        unseen, _shards2 = filter_and_update(
+            cand, shards, n_shards, m_bits, persist=False
+        )
+        return unseen
 
-        # two-phase per-host politeness rank (salted pre-rank beats
-        # hot-host skew); gates what gets *scheduled*
+    def frontier_action():
+        unseen = frontier_round().persist()
+        n_uniq = unseen.count()
         budget = F.coalesce("budget", F.lit(1)) * 10
         w1 = Window.partitionBy("host", "salt").orderBy(
             F.desc("score"), F.asc("url")
         )
         w2 = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
         ranked = (
-            discovered.join(F.broadcast(robots), "host", "left")
+            unseen.join(F.broadcast(robots), "host", "left")
             .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(8)))
             .withColumn("pre_rank", F.row_number().over(w1))
             .where(F.col("pre_rank") <= budget)
             .withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= budget)
         )
-        # dedup runs over the FULL discovery set (salted bloom shards)
-        cand = with_shard_cols(discovered, "url", "host", n_shards).repartition(
-            n_shards, "shard_id"
-        )
-        unseen, _shards2 = filter_and_update(
-            cand, shards, n_shards, m_bits, persist=False
-        )
         n_sched = ranked.count()
-        n_uniq = unseen.count()
-        discovered.unpersist()
+        unseen.unpersist()
         return n_sched, n_uniq
 
     frontier_runs = []
     n_unique = n_scheduled = 0
     for _ in range(args.repeat):
         t0 = time.time()
-        n_scheduled, n_unique = frontier_round()
+        n_scheduled, n_unique = frontier_action()
         frontier_runs.append(time.time() - t0)
     t_frontier = min(frontier_runs)
 

@@ -118,6 +118,8 @@ def filter_and_update(
     m_bits: int,
     k: int = 5,
     persist: bool = True,
+    dedup_key: str | None = None,
+    dedup_agg: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One pass per shard: test candidates against the shard's Bloom,
     keep probably-unseen ones, and emit the updated shard blob.
@@ -126,6 +128,14 @@ def filter_and_update(
     Returns (unseen_candidates, new_shards).  Implemented as a cogrouped
     applyInPandas so each shard's state is touched exactly once per
     round, partition-locally.
+
+    When ``dedup_key`` is set, within-batch deduplication happens
+    *inside* the shard pass (pandas groupby per shard) -- valid because
+    equal keys always land in the same shard -- saving the upstream
+    ``groupBy(url)`` shuffle; ``dedup_agg`` maps column -> pandas agg
+    ('min'/'max'/'first') for the surviving row.  Without it, callers
+    must pre-deduplicate (duplicate keys in one batch would all read
+    as unseen, since bits are set after the whole batch is tested).
     """
     out_schema = StructType(
         list(candidates.schema.fields)
@@ -138,6 +148,15 @@ def filter_and_update(
         # cogroup gives all candidate rows + the (single) shard row
         if len(cand_iter) == 0:
             return pd.DataFrame(columns=[*cand_cols, "__unseen", "__blob"])
+        if dedup_key is not None and len(cand_iter):
+            agg = dict(dedup_agg or {})
+            for c in cand_cols:
+                if c != dedup_key and c not in agg:
+                    agg[c] = "first"
+            cand_iter = (
+                cand_iter.groupby(dedup_key, as_index=False, sort=True)
+                .agg(agg)[cand_cols]
+            )
         if len(shard_pdf):
             blob = np.frombuffer(
                 shard_pdf.iloc[0]["bloom"], dtype=np.uint8

@@ -201,6 +201,11 @@ class CrawlEngine:
             .select("url", "host", "depth", "score")
             .persist()
         )
+        # NOTE: the unpartitioned window below intentionally runs on a
+        # single partition -- its input is the already-limited batch
+        # (<= cfg.batch_size rows), and the crawl-order contract needs
+        # one global, deterministic rank.  Do not "fix" the WindowExec
+        # warning by partitioning; that would break order equality.
         order_df = scheduled.orderBy(
             F.desc("score"), F.asc("depth"), F.asc("url")
         ).select(
@@ -227,14 +232,16 @@ class CrawlEngine:
             fetched.where(F.col("html").isNotNull()), "url", "html"
         )
 
-        # per-parent dedup then per-round aggregation: depth/score from
-        # the best parent, deterministic (min/max)
+        # per-URL aggregation in the JVM: map-side partial agg shrinks
+        # the shuffle ~8:1 before anything reaches Python.  (Folding the
+        # dedup into the bloom pass via dedup_key was measured slower --
+        # it feeds every raw contribution row through pandas.)
         parent = scheduled.select(
             F.col("url").alias("src_url"),
             F.col("depth").alias("p_depth"),
             F.col("score").alias("p_score"),
         )
-        discovered = (
+        contrib = (
             canon.join(parent, "src_url")
             .groupBy("url")
             .agg(
@@ -244,13 +251,13 @@ class CrawlEngine:
             .withColumn(
                 "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
             )
+            .persist()
         )
-        n_links = discovered.count()
+        n_links = contrib.count()  # distinct urls discovered this round
 
-        # 6. bloom dedup (partition-local per shard) + exact backstop
-        cand_new = with_shard_cols(
-            discovered, "url", "host", cfg.n_shards
-        ).repartition(cfg.n_shards, "shard_id")
+        # 6. bloom dedup (partition-local per shard) + exact backstop;
+        # the cogroup provides its own exchange on shard_id
+        cand_new = with_shard_cols(contrib, "url", "host", cfg.n_shards)
         probably_new, new_shards = filter_and_update(
             cand_new, shards, cfg.n_shards, cfg.m_bits, cfg.bloom_k
         )
@@ -300,7 +307,8 @@ class CrawlEngine:
             json.dump(metrics, f)
         self._write_manifest(r, done=n_scheduled == 0)
 
-        for df in (cand, scheduled, fetched, probably_new, new_urls):
+        for df in (cand, scheduled, fetched, contrib, probably_new,
+                   new_urls):
             df.unpersist()
         return metrics
 

@@ -352,6 +352,7 @@ class TableExtractor:
         keep_tags: Optional[set[str]] = None,
         only_keep_inline_tags: bool = True,
         html_error_forgiveness: bool = True,
+        wikipedia_selflink_postprocess: bool = False,
     ) -> None:
         self.ignored_tags = frozenset(
             ignored_tags if ignored_tags is not None else DEFAULT_IGNORED_TAGS
@@ -364,6 +365,7 @@ class TableExtractor:
         )
         self.only_keep_inline_tags = only_keep_inline_tags
         self.html_error_forgiveness = html_error_forgiveness
+        self.wikipedia_selflink_postprocess = wikipedia_selflink_postprocess
         self.context_extractor = context_extractor or ContextExtractor()
 
     # -- entry points ------------------------------------------------------
@@ -423,6 +425,21 @@ class TableExtractor:
             q = f"{query}&table_no={table_nos[i]}" if query else f"table_no={table_nos[i]}"
             tbl.id = urlunsplit((scheme, netloc, path, q, ""))
             tbl.url = url
+
+        # Wikipedia selflink anchors point at the page itself (legacy
+        # O24, rsoup/python/table_extractor.py:295-306); opt-in flag
+        if self.wikipedia_selflink_postprocess:
+            for tbl in tables:
+                for row in tbl.rows:
+                    for cell in row.cells:
+                        for el in cell.value.nodes:
+                            if (
+                                el.tag == "a"
+                                and "href" not in el.attrs
+                                and "selflink"
+                                in el.attrs.get("class", "").split()
+                            ):
+                                el.attrs["href"] = url
 
         # absolutize hrefs in every cell and context line (table.rs:188-206)
         conv = URLConverter(url)

@@ -167,7 +167,9 @@ def spans_from_html(url: str, html: str) -> list[dict]:
         cursor = max(cursor, k.end)
     if cursor < len(rt.text):
         emit_gap(cursor, len(rt.text))
-    spans.sort(key=lambda s: (s["offset"], 0 if s["kind"] == "text" else 1))
+    # construction order is already the document order: gaps interleave
+    # with preorder element emission, offsets non-decreasing; a sort
+    # would mis-order empty media spans against adjacent text gaps
     return spans
 
 

@@ -165,6 +165,22 @@ def test_cell_hrefs_absolutized_in_extract():
     assert anchors[0].attrs["href"] == "https://en.wikipedia.org/wiki/Nepal"
 
 
+def test_wikipedia_selflink_postprocess():
+    # legacy O24 (rsoup/python/table_extractor.py:295-306), opt-in
+    html = (
+        "<html><body><table><tbody><tr><td>"
+        '<a class="mw-selflink selflink">This page</a>'
+        "</td></tr></tbody></table></body></html>"
+    )
+    url = "https://en.wikipedia.org/wiki/Self"
+    on = TableExtractor(wikipedia_selflink_postprocess=True).extract(url, html)
+    anchor = [n for n in on[0].rows[0].cells[0].value.nodes if n.tag == "a"][0]
+    assert anchor.attrs["href"] == url
+    off = TableExtractor().extract(url, html)
+    anchor = [n for n in off[0].rows[0].cells[0].value.nodes if n.tag == "a"][0]
+    assert "href" not in anchor.attrs
+
+
 def test_table_dict_roundtrip_shapes():
     html = (RES / "table_span.html").read_text()
     tables = extractor().extract_tables(
