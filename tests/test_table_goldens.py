@@ -51,6 +51,19 @@ def test_span_golden_grid():
     assert tables[0].span().to_list() == SPAN_GOLDEN
 
 
+def test_nova_scotia_page_golden():
+    # test_table_extractor.rs:41-47: real page with nested/empty tables
+    html = (
+        RES / "wikipedia/2016_Nova_Scotia_municipal_elections.html"
+    ).read_text()
+    tables = extractor().extract_tables(
+        "https://en.wikipedia.org/wiki/2016_Nova_Scotia_municipal_elections",
+        parse_document(html),
+        auto_span=False, auto_pad=False, extract_context=False,
+    )
+    assert tables[1].to_list()[0] == ["Mayoral candidate[1]", "Vote", "%"]
+
+
 def test_nested_and_empty_tables_skipped():
     html = (RES / "extractors/table.html").read_text()
     el = parse_document(html).find_by_id("infobox-with-nested-opt-empty-tables")
