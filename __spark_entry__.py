@@ -93,6 +93,26 @@ def q_ext_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(spark, sf_dir).orderBy("doc_id", "pos")
 
 
+def q_ext_spans_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/keep-tag + multi-heading + media span semantics over the
+    rich page shape (ul/li tracked, scheme-relative hrefs, images)."""
+    from rsoup_spark.sources.docs import synth_rich_docs
+
+    docs = synth_rich_docs(spark, sf_dir)
+    spans = extract_spans(docs, "url", "html")
+    s = F.explode("spans").alias("s")
+    return (
+        spans.select("doc_id", s)
+        .select(
+            F.split(F.col("doc_id"), "/").getItem(3).cast("bigint")
+            .alias("doc_id"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def q_ext_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8-O13, O18: table extraction + span/pad + id assignment."""
     docs = synth_html_docs(spark, sf_dir)
@@ -380,6 +400,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
+        "ext_spans_rich": q_ext_spans_rich,
         "ext_tables": q_ext_tables,
         "ext_context": q_ext_context,
         "ext_links": q_ext_links,
@@ -444,6 +465,27 @@ SELECT doc_id, pos, kind, "text", media_ref, "offset" FROM (
   SELECT doc_id, 3, 'img', '', '/img/' || doc_id || '.png',
          length(h1_text) + 1 + length(body_text) + length(lang) FROM base
 ) ORDER BY doc_id, pos
+""",
+        "ext_spans_rich": """
+WITH base AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS flat,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, kind, "text", media_ref FROM (
+  SELECT doc_id, 'h1' AS kind, 'Doc ' || doc_id AS "text", '' AS media_ref FROM base
+  UNION ALL SELECT doc_id, 'h2', 'Keywords', '' FROM base
+  UNION ALL SELECT doc_id, 'ul',
+    toks[1] || chr(10) || toks[2] || chr(10) || toks[3], '' FROM base
+  UNION ALL SELECT doc_id, 'li', toks[1], '' FROM base
+  UNION ALL SELECT doc_id, 'li', toks[2], '' FROM base
+  UNION ALL SELECT doc_id, 'li', toks[3], '' FROM base
+  UNION ALL SELECT doc_id, 'text', flat || chr(10) || 'More: ', '' FROM base
+  UNION ALL SELECT doc_id, 'a', 'cdn', '//cdn.test/' || doc_id FROM base
+  UNION ALL SELECT doc_id, 'b', lang, '' FROM base
+  UNION ALL SELECT doc_id, 'img', '', '/thumb/' || doc_id || '.jpg' FROM base
+)
 """,
         "ext_tables": """
 SELECT 'https://docs.test/' || source || '/' || doc_id || '?table_no=0' AS table_id,

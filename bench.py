@@ -44,6 +44,7 @@ def main() -> None:
 
     headline = [
         "ext_spans",
+        "ext_spans_rich",
         "ext_tables",
         "ext_links",
         "url_canonicalize",

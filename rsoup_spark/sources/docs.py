@@ -54,6 +54,45 @@ def load_table(
     return df
 
 
+RICH_TEMPLATE = (
+    "<html><body>"
+    "<h1>Doc %s</h1>"
+    "<h2>Keywords</h2>"
+    "<ul><li>%s</li> <li>%s</li> <li>%s</li></ul>"
+    "<p>%s</p>"
+    '<p>More: <a href="//cdn.test/%s">cdn</a> <b>%s</b> '
+    '<img src="/thumb/%s.jpg"/></p>'
+    "</body></html>"
+)
+
+
+def synth_rich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richer page shape: keyword list (keep-tags ol/ul/li), two heading
+    levels, scheme-relative link, bold, image -- exercises the list /
+    heading / media span semantics in the correctness gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.format_string(
+            "https://rich.test/%s", F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            RICH_TEMPLATE,
+            F.col("doc_id"),
+            toks.getItem(0),
+            toks.getItem(1),
+            toks.getItem(2),
+            F.col("text"),
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("doc_id"),
+        ).alias("html"),
+        "lang",
+        "text",
+    )
+
+
 def synth_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> (doc_id, url, html, lang, source, text)."""
     docs = load_table(spark, sf_dir, "documents")
