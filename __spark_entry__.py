@@ -392,6 +392,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsoup_spark.ops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+def q_pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality gate -> exact dedup
+    (keep the smallest doc_id per fingerprint) -> survivors with stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return rolling_fingerprints(docs)
@@ -423,7 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "pipeline_quality_dedup": q_pipeline_quality_dedup,
     }
 
 
@@ -658,6 +686,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+""",
+        "pipeline_quality_dedup": f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         round(
+           0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+         + 0.3 * (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t IN ({",".join(chr(39) + w + chr(39) for w in ("the", "a", "of", "to", "and", "is", "in", "it"))})))
+                  / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+         + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)), 6) AS quality,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_tokens, quality FROM (
+  SELECT doc_id, n_tokens, quality,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.5
+) WHERE rn = 1
 """,
         "sim_topk": """
 SELECT query_id, neighbor_id, cos, rank FROM (

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,6 +142,83 @@ def lsh_ann_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to the nearest of
+    ``n_cells`` centroids (deterministically sampled corpus vectors --
+    no training step, fully reproducible); each query probes its
+    ``n_probe`` nearest cells and re-ranks exactly within them.
+
+    Scale path: the assignment is one broadcast of n_cells vectors + a
+    vectorized numpy matmul per Arrow batch; the search join touches
+    only n_probe/n_cells of the corpus.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.window import Window
+
+    # deterministic centroids: every (n/k)-th vector by id order
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    step = max(1, len(ids) // n_cells)
+    centroid_ids = ids[::step][:n_cells]
+    cents = (
+        corpus.where(F.col(id_col).isin(centroid_ids))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    C = np.array([list(r[0]) for r in cents], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")

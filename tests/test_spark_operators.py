@@ -97,6 +97,34 @@ class TestOpsRecall:
         expect = {(i, i + 10_000) for i in range(n)}
         assert expect <= found
 
+    def test_ivf_recall_vs_brute(self, spark):
+        """IVF with n_probe=n_cells degenerates to exact search; with
+        fewer probes it must still return valid cosines <= brute best."""
+        from rsoup_spark.ops.similarity import cosine_topk, ivf_topk
+        from rsoup_spark.sources.docs import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        q = emb.where(F.col("vec_id") % 100 == 0)
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["cos"]
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        # full probe = exact: results must match brute exactly
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["cos"]
+            for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=8).collect()
+        }
+        assert full == brute
+        # partial probe: valid subset with correct cosines
+        part = ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+        bbest = max(brute.values())
+        assert part and all(r["cos"] <= bbest + 1e-9 for r in part)
+        recall = len(
+            {(r["query_id"], r["neighbor_id"]) for r in part}
+            & set(brute)
+        ) / len(brute)
+        assert recall >= 0.2, recall
+
     def test_ann_lsh_subset_of_brute(self, spark):
         from rsoup_spark.ops.similarity import cosine_topk, lsh_ann_topk
         from rsoup_spark.sources.docs import load_table
