@@ -133,6 +133,11 @@ class CrawlEngine:
             "score",
         )
         frontier.write.mode("overwrite").parquet(self._path(0, "frontier"))
+        # the seen set is append-only: round r's dir holds only the urls
+        # first discovered in round r, so each checkpoint writes O(new)
+        # not O(total) -- at 10^10 urls this is the difference between a
+        # snapshot append and rewriting the world every round (the
+        # Iceberg production analogue is an append commit + MERGE)
         seeds.select("url").write.mode("overwrite").parquet(
             self._path(0, "seen")
         )
@@ -146,6 +151,15 @@ class CrawlEngine:
         shards.write.mode("overwrite").parquet(self._path(0, "shards"))
         self._write_manifest(0, False)
 
+    def _read_seen(self, up_to_round: int):
+        """Union of the per-round seen appends (one multi-path scan)."""
+        paths = [
+            self._path(i, "seen")
+            for i in range(up_to_round + 1)
+            if os.path.exists(self._path(i, "seen"))
+        ]
+        return self.spark.read.parquet(*paths)
+
     def last_round(self) -> tuple[int, bool]:
         with open(self._manifest_path()) as f:
             m = json.load(f)
@@ -157,7 +171,7 @@ class CrawlEngine:
         cfg = self.cfg
         t0 = time.time()
         frontier = self.spark.read.parquet(self._path(r - 1, "frontier"))
-        seen = self.spark.read.parquet(self._path(r - 1, "seen"))
+        seen = self._read_seen(r - 1)
         shards = self.spark.read.parquet(self._path(r - 1, "shards"))
 
         # 1. robots gate (broadcast join; parse_url stays in codegen)
@@ -277,9 +291,10 @@ class CrawlEngine:
         next_frontier.write.mode("overwrite").parquet(
             self._path(r, "frontier")
         )
-        seen.unionByName(new_urls.select("url")).write.mode(
-            "overwrite"
-        ).parquet(self._path(r, "seen"))
+        # append-only seen: only this round's new urls are written
+        new_urls.select("url").write.mode("overwrite").parquet(
+            self._path(r, "seen")
+        )
         new_shards.write.mode("overwrite").parquet(self._path(r, "shards"))
 
         # per-partition lineage: which partition produced how many
@@ -350,9 +365,4 @@ class CrawlEngine:
 
     def seen_set(self) -> set[str]:
         last, _ = self.last_round()
-        return {
-            r["url"]
-            for r in self.spark.read.parquet(
-                self._path(last, "seen")
-            ).collect()
-        }
+        return {r["url"] for r in self._read_seen(last).collect()}
