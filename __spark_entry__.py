@@ -131,6 +131,10 @@ def q_ext_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.getItem(1).getItem(1).alias("cell_1_1"),
         F.col("rows").getItem(0)["cells"].getItem(0)["is_header"].alias("hdr_0_0"),
         F.col("rows").getItem(1)["cells"].getItem(0)["is_header"].alias("hdr_1_0"),
+        # map-function coverage: attrs is MapType(str,str)
+        F.element_at("attrs", "class").alias("table_class"),
+        F.element_at("attrs", "data-doc").cast("bigint").alias("data_doc"),
+        F.size(F.map_keys("attrs")).cast("int").alias("n_attrs"),
     )
 
 
@@ -227,6 +231,21 @@ def q_rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: parse events.props with a pinned schema (no
+    schema inference over the stream) and aggregate by extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_customers": q_rel_top_customers,
         "rel_order_rank": q_rel_order_rank,
         "rel_events_hourly": q_rel_events_hourly,
+        "rel_events_json": q_rel_events_json,
         "rel_region_revenue": q_rel_region_revenue,
         "rel_rollup_revenue": q_rel_rollup_revenue,
         "set_except_union": q_set_except_union,
@@ -521,7 +541,10 @@ SELECT 'https://docs.test/' || source || '/' || doc_id || '?table_no=0' AS table
        2 AS n_rows, 2 AS n_cols,
        'lang' AS cell_0_0, 'source' AS cell_0_1,
        lang AS cell_1_0, source AS cell_1_1,
-       TRUE AS hdr_0_0, FALSE AS hdr_1_0
+       TRUE AS hdr_0_0, FALSE AS hdr_1_0,
+       'doc-meta' AS table_class,
+       doc_id AS data_doc,
+       2 AS n_attrs
 FROM documents
 """,
         "ext_context": f"""
@@ -575,6 +598,14 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         "rel_events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "rel_events_json": """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
        round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2

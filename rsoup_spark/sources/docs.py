@@ -26,7 +26,7 @@ PAGE_TEMPLATE = (
     "<html><body>"
     "<h1>Doc %s</h1>"
     "<p>%s</p>"
-    "<table><tbody>"
+    '<table class="doc-meta" data-doc="%s"><tbody>'
     "<tr><th>lang</th> <th>source</th></tr> "
     "<tr><td>%s</td> <td>%s</td></tr>"
     "</tbody></table>"
@@ -105,6 +105,7 @@ def synth_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             PAGE_TEMPLATE,
             F.col("doc_id"),
             F.col("text"),
+            F.col("doc_id"),
             F.col("lang"),
             F.col("source"),
             F.col("source"),
