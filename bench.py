@@ -77,6 +77,32 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     docs_per_sec = round(n_docs / max(timings["ext_spans"], 1e-9), 1)
 
+    # reference-workload analogue: the reference macro-bench times
+    # full extraction (auto_span+pad+context) over 100 Wikipedia
+    # articles (scripts/test_table_extractor.py) -- replicate with the
+    # real 380KB mountains fixture replicated 128x through the engine
+    wiki_pages_per_sec = None
+    wiki_path = ("/root/reference/tests/resources/wikipedia/"
+                 "List_of_highest_mountains_on_Earth.html")
+    if os.path.exists(wiki_path):
+        from pyspark.sql import functions as F2
+
+        from rsoup_spark.operators.extract import extract_tables
+
+        html = open(wiki_path, encoding="utf-8").read()
+        n_wiki = 128
+        wiki = spark.range(n_wiki).select(
+            F2.format_string(
+                "https://en.wikipedia.org/wiki/Mountains_%s", "id"
+            ).alias("url"),
+            F2.lit(html).alias("html"),
+        ).repartition(32).persist()
+        wiki.count()
+        t0 = time.time()
+        run_noop(extract_tables(wiki))
+        wiki_pages_per_sec = round(n_wiki / (time.time() - t0), 1)
+        wiki.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -89,6 +115,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extraction_docs_per_sec": docs_per_sec,
                 "n_docs": n_docs,
+                "wikipedia_pages_per_sec": wiki_pages_per_sec,
             }
         )
     )
