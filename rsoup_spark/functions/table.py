@@ -388,11 +388,26 @@ class TableExtractor:
         auto_pad: bool = True,
         extract_context: bool = True,
     ) -> list[Table]:
-        # scan: non-nested <table> elements only (table.rs:110-122)
+        # scan: non-nested <table> elements only (table.rs:110-122).
+        # one pass: collect every table, then mark each table that has a
+        # table ancestor -- the ancestors are the "outer" tables to skip
+        # (cheaper than a subtree re-scan per table)
+        all_tables = doc.find_all("table")
+        table_ids = {id(t) for t in all_tables}
+        has_inner: set[int] = set()
+        for el in all_tables:
+            p = el.parent
+            while p is not None:
+                if id(p) in table_ids:
+                    has_inner.add(id(p))
+                    break  # nearer ancestor marked; outer ones get
+                    # marked by their own inner tables' walks
+                p = p.parent
+
         tables: list[Table] = []
         table_els: list[Node] = []
-        for el in doc.find_all("table"):
-            if el.find_all("table"):
+        for el in all_tables:
+            if id(el) in has_inner:
                 continue  # outer table containing tables is skipped
             table = self.extract_non_nested_table(el)
             if not table.rows or all(len(r.cells) == 0 for r in table.rows):
