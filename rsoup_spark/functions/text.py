@@ -141,16 +141,17 @@ class Paragraph:
         return "".join(self.tokens)
 
 
-# sentinels for the streaming renderers
+# sentinels for the streaming renderers; they expose a ``kind`` so the
+# hot loops dispatch on one attribute fetch + string compare
 class _Marker:
-    __slots__ = ("name",)
+    __slots__ = ("kind",)
 
-    def __init__(self, name: str) -> None:
-        self.name = name
+    def __init__(self, kind: str) -> None:
+        self.kind = kind
 
 
-_BREAK = _Marker("breakline")
-_EXIT = _Marker("exit-element")
+_BREAK = _Marker("__break__")
+_EXIT = _Marker("__exit__")
 
 
 def get_text(el: Node) -> str:
@@ -167,15 +168,17 @@ def get_text(el: Node) -> str:
 
     while stream:
         node = stream.pop()
-        if node is _BREAK:
-            flush()
-        elif node.kind == TEXT:
+        kind = node.kind
+        if kind == TEXT:
             line.append(node.text)
-        elif node.kind == ELEMENT:
+        elif kind == ELEMENT:
             if node.tag in BLOCK_ELEMENTS:
                 flush()
                 stream.append(_BREAK)
-            stream.extend(reversed(node.children))
+            if node.children:
+                stream.extend(reversed(node.children))
+        elif kind == "__break__":
+            flush()
         # comments / doctype ignored
 
     flush()
@@ -432,13 +435,18 @@ def _rich_text_from_stream(
 
     while stream:
         node = stream.pop()
+        kind = node.kind
 
-        if node is _BREAK:
+        if kind == TEXT:
+            line.append(node.text)
+            continue
+
+        if kind == "__break__":
             paragraph.append(line)
             line.clear()
             continue
 
-        if node is _EXIT:
+        if kind == "__exit__":
             # close the innermost tracked element
             assert len(stream) == stack[-1][0], "exit marker out of sync"
             _, nid = stack.pop()
@@ -465,11 +473,7 @@ def _rich_text_from_stream(
             el.end = len(paragraph) + len(line) + shifted
             continue
 
-        if node.kind == TEXT:
-            line.append(node.text)
-            continue
-
-        if node.kind != ELEMENT:
+        if kind != ELEMENT:
             continue  # comments etc.
 
         tag = node.tag
