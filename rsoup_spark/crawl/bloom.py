@@ -188,13 +188,15 @@ def filter_and_update(
         result = result.persist()
 
     unseen = result.where(F.col("__unseen") == 1).select(*cand_cols)
+    # blob rides on the first row of each shard group; the added count
+    # must aggregate over ALL of the shard's rows
     touched = (
-        result.where(F.col("__blob").isNotNull())
-        .groupBy("shard_id")
+        result.groupBy("shard_id")
         .agg(
-            F.first("__blob").alias("bloom"),
+            F.first("__blob", ignorenulls=True).alias("bloom"),
             F.sum("__unseen").cast("long").alias("added"),
         )
+        .where(F.col("bloom").isNotNull())
     )
     new_shards = (
         shards.alias("old")
