@@ -314,12 +314,14 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new session; returns per-session event counts and bounds."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # microsecond epoch (events.ts carries microseconds); a whole-second
+    # unix_timestamp gap truncates and diverges from DuckDB's epoch()
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(epoch - F.lag(epoch, 1, 0).over(w) > 1800, 1)
+        F.when(epoch - F.lag(epoch, 1, 0).over(w) > 1_800_000_000, 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -328,12 +330,15 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
     )
+    # emit bounds as microsecond-formatted strings so the comparison hash
+    # is independent of tz/precision rendering on either engine
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return (
         sess.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            F.date_format(F.max("ts"), fmt).alias("session_end"),
         )
     )
 
@@ -656,8 +661,8 @@ WITH gaps AS (
 )
 SELECT user_id, session_no,
        count(*) AS n_events,
-       min(ts) AS session_start,
-       max(ts) AS session_end
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
 FROM sess
 GROUP BY user_id, session_no
 """,
