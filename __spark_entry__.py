@@ -743,6 +743,44 @@ SELECT doc_id, n_tokens, quality FROM (
   FROM scored WHERE quality >= 0.5
 ) WHERE rn = 1
 """,
+        "ann_ivf_topk": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id % 50 = 0
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      n.embedding::DOUBLE[]), 6) AS cos
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN embeddings q ON p.query_id = q.vec_id
+  JOIN embeddings n ON a.neighbor_id = n.vec_id
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
         "sim_topk": """
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -358,11 +358,12 @@ class CrawlEngine:
                 self.spark.read.parquet(p)
                 .orderBy("round", "rank")
                 .select("round", "rank", "url")
-                .collect()
+                .collect()  # test-only surface: oracle-equality checks
             )
             out.extend((row["round"], row["rank"], row["url"]) for row in rows)
         return out
 
     def seen_set(self) -> set[str]:
         last, _ = self.last_round()
+        # test-only surface: oracle-equality checks
         return {r["url"] for r in self._read_seen(last).collect()}

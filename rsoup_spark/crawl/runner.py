@@ -89,9 +89,9 @@ def main() -> None:
 
             graph = {
                 r["url"]: list(r["out_links"])
-                for r in pages.select("url", "out_links").collect()
+                for r in pages.select("url", "out_links").collect()  # test-only
             }
-            seeds_rows = gen_seeds(spark, args.hosts).collect()
+            seeds_rows = gen_seeds(spark, args.hosts).collect()  # test-only
             want_order, want_seen = simulate(
                 graph,
                 [(r["url"], r["score"], r["depth"]) for r in seeds_rows],

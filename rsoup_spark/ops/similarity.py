@@ -161,55 +161,76 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_stride: int = 31,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to the nearest of
-    ``n_cells`` centroids (deterministically sampled corpus vectors --
-    no training step, fully reproducible); each query probes its
-    ``n_probe`` nearest cells and re-ranks exactly within them.
+    ``n_cells`` centroids; each query probes its ``n_probe`` nearest
+    cells and re-ranks exactly within them.
 
-    Scale path: the assignment is one broadcast of n_cells vectors + a
-    vectorized numpy matmul per Arrow batch; the search join touches
-    only n_probe/n_cells of the corpus.
+    Centroid selection is a *bounded* deterministic sample: the
+    ``n_cells`` smallest ids with id % centroid_stride == 0 -- only
+    ``n_cells`` rows ever reach the driver (never the full id set), so
+    centroid picking stays O(n_cells) at any corpus size.
+
+    Assignment and probing are per-row JVM expressions against the
+    broadcast centroid literals (map-only, no shuffle, no Python), so
+    the whole pipeline is expressible in ANSI SQL for the oracle; the
+    search join then touches only n_probe/n_cells of the corpus.
     """
-    from pyspark.sql.types import ArrayType, IntegerType
     from pyspark.sql.window import Window
 
-    # deterministic centroids: every (n/k)-th vector by id order
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(1, len(ids) // n_cells)
-    centroid_ids = ids[::step][:n_cells]
     cents = (
-        corpus.where(F.col(id_col).isin(centroid_ids))
+        corpus.where(F.col(id_col) % centroid_stride == 0)
         .orderBy(id_col)
-        .select(vec_col)
+        .limit(n_cells)  # bounded: exactly n_cells rows to the driver
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
         .collect()
     )
-    C = np.array([list(r[0]) for r in cents], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
 
-    @F.pandas_udf(IntegerType())
-    def assign_cell(vs: pd.Series) -> pd.Series:
-        V = np.array(vs.tolist(), dtype=np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+    def _cent_lit(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(vs: pd.Series) -> pd.Series:
-        V = np.array(vs.tolist(), dtype=np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+    def cell_of(vec_col_expr):
+        """argmax_centroid cosine, ties -> smallest centroid id."""
+        structs = F.array(*[
+            F.struct(
+                cosine(vec_col_expr, _cent_lit(r["cv"])).alias("cos"),
+                F.lit(-int(r["cid"])).alias("negcid"),
+            )
+            for r in cents
+        ])
+        best = F.array_max(structs)
+        return (-best["negcid"]).alias("cell")
+
+    def probes_of(vec_col_expr):
+        """n_probe nearest cells, cos desc then centroid id asc."""
+        structs = F.array(*[
+            F.struct(
+                (-cosine(vec_col_expr, _cent_lit(r["cv"]))).alias("negcos"),
+                F.lit(int(r["cid"])).alias("cid"),
+            )
+            for r in cents
+        ])
+        ordered = F.slice(F.sort_array(structs), 1, n_probe)
+        return F.transform(ordered, lambda s: s["cid"])
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        assign_cell(F.col(vec_col)).alias("cell"),
+        cell_of(F.col(vec_col).cast("array<double>")),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(probes_of(F.col(vec_col).cast("array<double>"))).alias(
+            "cell"
+        ),
     )
+    # each neighbor lives in exactly one cell and a query's probe cells
+    # are distinct, so (query, neighbor) pairs are already unique
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -218,7 +239,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -235,27 +255,50 @@ def embedding_dup_pairs(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.
+    """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.  Exact.
 
-    Brute force baseline over a self-join; the LSH-bucketed variant is
-    the scale path (same re-rank, bucket-join candidates).
+    Blocked all-pairs search: vectors hash into ``n_blocks`` blocks, the
+    B*(B+1)/2 unordered block pairs become join keys, and each block
+    pair is scored independently (equi-join on the pair key -- never a
+    CartesianProduct node).  The O(n^2) comparison work is inherent to
+    exact all-pairs, but it is now spread evenly over B*(B+1)/2
+    uniformly-sized tasks with bounded shuffle (each vector is copied
+    (B+1)/2 times), instead of one driver-planned cartesian.  At 100TB
+    pick n_blocks so a block pair fits one task (B ~ n*d*8 / task_mem);
+    for sub-quadratic candidate generation use ``lsh_ann_topk``'s
+    hyperplane buckets and re-rank (probabilistic recall).
     """
-    a = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    B = n_blocks
+    spark = vectors.sparkSession
+    pair_rows = [
+        (a * B + b, a, b) for a in range(B) for b in range(a, B)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "pk INT, ba INT, bb INT")
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+    left = v.join(F.broadcast(pairs), v["blk"] == pairs["ba"]).select(
+        F.col("id").alias("id_x"), F.col("v").alias("vx"), "pk", "ba", "bb"
+    )
+    right = v.join(
+        F.broadcast(pairs.select("pk", "bb").withColumnRenamed("bb", "b2")),
+        v["blk"] == F.col("b2"),
+    ).select(F.col("id").alias("id_y"), F.col("v").alias("vy"), "pk")
+    joined = left.join(right, "pk").where(
+        # same-block pairs appear in both orientations: keep one;
+        # cross-block pairs appear exactly once: keep it, order below
+        (F.col("ba") != F.col("bb")) | (F.col("id_x") < F.col("id_y"))
     )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        joined.select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.round(cosine(F.col("vx"), F.col("vy")), 6).alias("cos"),
         )
         .where(F.col("cos") >= tau)
     )

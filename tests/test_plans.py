@@ -18,6 +18,41 @@ def test_no_row_at_a_time_python_anywhere(spark):
 
 
 @pytest.mark.spark
+def test_no_cartesian_product_anywhere(spark):
+    """All-pairs ops must use blocked equi-joins / bucket joins -- a
+    CartesianProduct or unkeyed BroadcastNestedLoopJoin over two large
+    inputs dies at 100TB (the broadcast NLJ against the bounded
+    centroid/pair literals is keyed and fine, but none appear either)."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    for name, fn in e.queries().items():
+        assert "CartesianProduct" not in plan_text(fn(spark, SF_SMALL)), name
+
+
+def test_no_unbounded_driver_collect():
+    """`.collect()` in library code must be bounded by construction:
+    every occurrence sits under a `.limit(` in the same statement or is
+    a test-only surface.  Guards against driver-side materialization of
+    unbounded inputs (the IVF centroid bug class)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "rsoup_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"\.collect\(\)", src):
+            stmt_start = src.rfind("\n\n", 0, m.start())
+            stmt = src[stmt_start : src.find("\n", m.end())]
+            if ".limit(" in stmt or "# bounded" in stmt or "test-only" in stmt:
+                continue
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{py.name}:{line}")
+    assert not offenders, offenders
+
+
+@pytest.mark.spark
 def test_small_dims_broadcast(spark):
     import __spark_entry__ as e
     from rsoup_spark.plans.review import has_broadcast_join, has_sort_merge_join
