@@ -373,9 +373,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs (shingle inverted-index join)."""
+    """Word-trigram Jaccard near-dup pairs (shingle inverted-index join).
+    max_doc_freq caps stop-shingle document frequency: a shingle in f
+    docs costs f^2 rows on one join key, so the cap is the skew guard
+    that keeps the self-join bounded at crawl scale (mirrored in the
+    oracle SQL; it never triggers on the synthetic corpus, where max
+    df is ~25 at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, ngram=3, threshold=0.5)
+    return jaccard_pairs(docs, ngram=3, threshold=0.5, max_doc_freq=1000)
 
 
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,9 +400,14 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- rows-only checks (non-SQL-expressible in DuckDB) -----------------------
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidates, verified with exact shingle-set
+    Jaccard -- the candidate join is bounded by band buckets (never
+    all-pairs) and the exact check makes the output oracle-equal to
+    the brute-force Jaccard SQL (every true pair here sits at sim
+    >= 0.9, far above the banding recall cliff at 0.5)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, ngram=3, num_hashes=64, bands=16,
-                             threshold=0.5)
+                             threshold=0.5, verify="jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,8 +416,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile language ID (argmax of per-language profile
+    n-gram counts; pure JVM expression, oracle-mirrored in SQL).  The
+    synthetic corpus text is language-neutral word soup, so predictions
+    land on en/und -- real-language discrimination is pinned by pytest
+    over genuine multilingual snippets."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", detect_lang(F.col("text")).alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of detect_lang, generated from LANG_PROFILES so the
+    model and its oracle cannot drift apart."""
+    from rsoup_spark.ops.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_exprs = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"(length(p) - length(replace(p, '{g}', ''))) / {len(g)}"
+            for g in LANG_PROFILES[lang]
+        )
+        + f") AS s_{lang}"
+        for lang in langs
+    )
+    gl = ", ".join(f"s_{lang}" for lang in langs)
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = greatest({gl}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+), sc AS (
+  SELECT doc_id,
+       {score_exprs}
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN greatest({gl}) <= 0 THEN 'und'
+            {cases}
+       END AS pred_lang
+FROM sc
+"""
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +542,43 @@ _FLAT_BODY = (
     "'lang source ' || lang || ' ' || source || chr(10) || 'Tags: '"
 )
 _H1 = "'Doc ' || doc_id"
+
+# exact word-trigram Jaccard pairs; {cap_cte}/{posting_src} optionally
+# mirror the engine's stop-shingle df cap (sizes stay pre-cap)
+_JACCARD_SQL_TMPL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+  FROM t WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+){cap_cte}, common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM {posting_src} a JOIN {posting_src} b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
+"""
+_JACCARD_SQL_EXACT = _JACCARD_SQL_TMPL.format(cap_cte="", posting_src="sh")
+_JACCARD_SQL_CAPPED = _JACCARD_SQL_TMPL.format(
+    cap_cte=""", freq AS (
+  SELECT g, count(*) AS df FROM sh GROUP BY g
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g) WHERE df <= 1000
+)""",
+    posting_src="shc",
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -692,31 +779,8 @@ FROM doubled
 GROUP BY fingerprint
 HAVING count(*) > 1
 """,
-        "dedup_jaccard": """
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(toks) - 1, 1)),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
-  FROM t WHERE len(toks) >= 3
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b USING (g)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(c / (sa.n + sb.n - c), 6) AS jaccard
-FROM common
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
-""",
+        "dedup_jaccard": _JACCARD_SQL_CAPPED,
+        "dedup_minhash_lsh": _JACCARD_SQL_EXACT,
         "emb_dup_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
@@ -742,6 +806,36 @@ SELECT doc_id, n_tokens, quality FROM (
          row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
   FROM scored WHERE quality >= 0.5
 ) WHERE rn = 1
+""",
+        "lang_id": _lang_id_sql(),
+        "winnow_fingerprints": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks, tk ->
+           (('0x' || substr(md5(tk), 1, 15))::UBIGINT)::HUGEINT) AS hs,
+         len(toks) AS n
+  FROM t
+), w AS (
+  SELECT doc_id,
+    CASE WHEN n >= 8 THEN
+      list_transform(range(1, n - 6), i ->
+        list_reduce(hs[i:i+7],
+                    (a, b) -> (a * 1000003 + b) % 2305843009213693951))
+    ELSE
+      [CASE WHEN n > 0 THEN
+        list_reduce(hs, (a, b) -> (a * 1000003 + b) % 2305843009213693951)
+      ELSE 0 END]
+    END AS ws
+  FROM h
+)
+SELECT doc_id,
+       CAST(unnest(list_transform(range(1, len(ws) + 1, 4),
+                                  j -> list_min(ws[j:j+3]))) AS BIGINT)
+         AS fingerprint
+FROM w
 """,
         "ann_ivf_topk": """
 WITH cents AS (

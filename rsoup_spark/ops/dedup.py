@@ -91,11 +91,19 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         _shingles(F.col(text_col), ngram).alias("shingles"),
     )
-    sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
+    # carry the full (pre-cap) shingle-set size on each posting row: +8
+    # bytes per row in the shuffle buys away two doc-id joins afterwards
+    # (a sizes side-table is one row per doc -- not broadcastable at 1e9
+    # docs, and joining it twice re-shuffles the whole candidate stream)
     posting = base.select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
     )
     if max_doc_freq is not None:
+        # df cap: stop-shingles are both a quality signal (they carry no
+        # dedup evidence) and THE skew bomb in the self-join below --
+        # a shingle in f docs contributes f^2 join rows on one key
         hot = (
             posting.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -112,18 +120,14 @@ def jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.n_shingles")).alias("size_a"),
+            F.first(F.col("b.n_shingles")).alias("size_b"),
+        )
     )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -174,12 +178,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    verify: str = "signature",
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified by
-    signature similarity.
+    """Candidate near-dup pairs via banded MinHash LSH, then verified.
 
-    Returns (id_a, id_b, sim) where sim = fraction of matching minhashes
-    (>= threshold), id_a < id_b.
+    verify="signature" (default): sim = fraction of matching minhashes
+    (>= threshold); returns (id_a, id_b, sim), id_a < id_b.
+
+    verify="jaccard": candidates are re-checked against the *exact*
+    shingle-set Jaccard (array_intersect on the two shingle sets, one
+    join back to the docs per side); returns (id_a, id_b, jaccard)
+    with jaccard >= threshold.  This is the standard LSH-then-verify
+    pipeline: the banded join bounds candidate generation at scale and
+    the exact check removes LSH false positives, so the output is a
+    subset of the brute-force Jaccard result that (at recall ~1 for
+    sims well above threshold) equals it -- making it oracle-checkable
+    against the same SQL as the exact operator.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
@@ -207,6 +221,23 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+    if verify == "jaccard":
+        sh = docs.select(
+            F.col(id_col).alias("doc_id"),
+            _shingles(F.col(text_col), ngram).alias("sh"),
+        )
+        ja = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        jb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cand.join(ja, "id_a")
+            .join(jb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))

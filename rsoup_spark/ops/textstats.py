@@ -12,16 +12,28 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
 
-# tiny function-word profiles for the n-gram/marker language heuristic;
-# deterministic and self-contained (no external models)
-_LANG_MARKERS = {
-    "en": (" the ", " and ", " of ", " to ", " is "),
-    "de": (" der ", " die ", " und ", " das ", " ist "),
-    "es": (" el ", " la ", " de ", " que ", " es "),
-    "fr": (" le ", " la ", " et ", " les ", " est "),
-    "zh": ("的", "是", "了", "在", "我"),
+# character n-gram profiles per language: the highest-frequency
+# distinctive trigrams (with word-boundary spaces) drawn from public
+# frequency tables for each language; single high-frequency hanzi for
+# zh.  Stored in-repo -- deterministic, no external models.  The score
+# of a language is the total occurrence count of its profile n-grams in
+# the space-padded lowercased text; argmax predicts, ties break to the
+# lexicographically smaller code, all-zero scores predict 'und'.
+LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+           " of", "of ", " to", "to ", "ion", " is", "is ", "tio",
+           " in", "in ", "hat", " wh"),
+    "de": (" de", "der", "ie ", "die", "und", " un", "sch", "ich",
+           "ein", " ei", "cht", "ung", "gen", " ge", "ber", "ten",
+           " zu", "das", "ver", "nen"),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ión",
+           "ció", " co", " es", "ado", " en", "que", " qu", "ue ",
+           "ara", " pa", "nte", "ien"),
+    "fr": (" de", "de ", " le", "le ", "es ", " la", "la ", "ion",
+           " et", "et ", "que", " qu", "ue ", " pa", "ais", "our",
+           " po", "eur", "ant", "les"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "人", "这", "中"),
 }
 
 STOPWORDS = ("the", "a", "of", "to", "and", "is", "in", "it")
@@ -63,36 +75,55 @@ def quality_score(text_col) -> Column:
     )
 
 
-@F.pandas_udf(StringType())
-def detect_lang(texts: pd.Series) -> pd.Series:
-    """Marker-token language heuristic, vectorized per Arrow batch.
+def lang_scores(text_col) -> dict[str, Column]:
+    """Per-language trigram-profile scores as JVM expressions.
 
-    Scores each language by marker hit counts in the padded text; ties
-    break lexicographically for determinism.  Non-SQL-expressible ->
-    rows-only correctness check (driver contract).
-    """
+    Occurrence counting via the length/replace identity
+    (len(s) - len(replace(s, g, ''))) / len(g) -- non-overlapping
+    occurrences, identical semantics in Spark and DuckDB, whole-stage
+    codegen (no Python in the hot path)."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang in sorted(LANG_PROFILES):
+        terms = [
+            (F.length(padded) - F.length(F.replace(padded, F.lit(g))))
+            / F.lit(len(g))
+            for g in LANG_PROFILES[lang]
+        ]
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
+        out[lang] = score
+    return out
 
-    def _one(t: str) -> str:
-        padded = f" {t.lower()} "
-        best_lang, best = "und", 0
-        for lang in sorted(_LANG_MARKERS):
-            score = sum(padded.count(m) for m in _LANG_MARKERS[lang])
-            if score > best:
-                best_lang, best = lang, score
-        return best_lang
 
-    return texts.map(_one)
+def detect_lang(text_col) -> Column:
+    """Trigram-profile language ID as one JVM expression: argmax of
+    ``lang_scores``; ties break to the lexicographically smaller code,
+    all-zero scores -> 'und'.  SQL-expressible, so the lang_id gate
+    query has an exact DuckDB oracle."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    chain = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):
+        chain = chain.when(scores[lang] == best, F.lit(lang))
+    return chain
 
 
 def rolling_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     window: int = 8, keep_every: int = 4,
 ) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (docstring cites the
-    standard MOSS/winnowing construction): polynomial rolling hash over
+    """Winnowing-style rolling-hash fingerprints (the standard
+    MOSS/winnowing construction): polynomial rolling hash over
     ``window``-token shingles, keeping the minimum hash of every
-    ``keep_every`` consecutive window.  mapInPandas; deterministic."""
-    import numpy as np
+    ``keep_every`` consecutive window.  mapInPandas; deterministic.
+
+    The token hash is the top 60 bits of md5 (portable: md5 exists in
+    every engine, so the whole construction is expressible in ANSI SQL
+    for the oracle), folded with acc = (acc*BASE + h) mod (2^61 - 1).
+    """
+    import hashlib
 
     MOD = (1 << 61) - 1
     BASE = 1_000_003
@@ -105,9 +136,7 @@ def rolling_fingerprints(
                 hs = [hash_token(t) for t in toks]
                 if len(hs) < window:
                     ids.append(did)
-                    fps.append(
-                        int(np.int64(_poly(hs, MOD, BASE))) if hs else 0
-                    )
+                    fps.append(_poly(hs, MOD, BASE) if hs else 0)
                     continue
                 windows = [
                     _poly(hs[i : i + window], MOD, BASE)
@@ -119,10 +148,8 @@ def rolling_fingerprints(
             yield pd.DataFrame({id_col: ids, "fingerprint": fps})
 
     def hash_token(t: str) -> int:
-        h = 1469598103934665603  # FNV-1a 64 offset basis (public constant)
-        for ch in t.encode("utf-8"):
-            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        return h
+        # first 15 hex digits of md5 = 60 bits, fits signed int64
+        return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
 
     def _poly(hs: list[int], mod: int, base: int) -> int:
         acc = 0
