@@ -15,10 +15,12 @@ rsoup has no frontier):
   (16 MiB) per shard, n/shard ~ 1.5e5 ... sized for FP < 1e-6; shards
   stay independent so they spread across executors.  In the sandbox we
   default to 2^20 bits / 64 shards.
-* False positives skip URLs (never re-crawl), false negatives are
-  impossible -- the exact per-round anti-join stays the correctness
-  backstop at test scale (FIXTURES.md F5) while the Bloom prunes the
-  join input at production scale.
+* False negatives are impossible; false positives would silently skip
+  URLs.  With ``CrawlConfig.exact_backstop`` on (default), the frontier
+  anti-joins the FULL candidate set against the seen table, so fp-hit
+  URLs are recovered and counted (``bloom_false_positives`` metric);
+  with it off (production, bloom authoritative) the fp-rate loss is
+  accepted and sized away via m_bits (FP < 1e-6 above).
 """
 
 from __future__ import annotations
@@ -120,14 +122,17 @@ def filter_and_update(
     persist: bool = True,
     dedup_key: str | None = None,
     dedup_agg: dict | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """One pass per shard: test candidates against the shard's Bloom,
     keep probably-unseen ones, and emit the updated shard blob.
 
     ``candidates`` must carry url_hash + shard_id (``with_shard_cols``).
-    Returns (unseen_candidates, new_shards).  Implemented as a cogrouped
-    applyInPandas so each shard's state is touched exactly once per
-    round, partition-locally.
+    Returns (unseen_candidates, new_shards, cached) where ``cached`` is
+    the persisted intermediate both outputs derive from (None when
+    ``persist=False``) -- the caller must unpersist it once the outputs
+    are materialized, or cached shard passes pile up round over round.
+    Implemented as a cogrouped applyInPandas so each shard's state is
+    touched exactly once per round, partition-locally.
 
     When ``dedup_key`` is set, within-batch deduplication happens
     *inside* the shard pass (pandas groupby per shard) -- valid because
@@ -182,10 +187,12 @@ def filter_and_update(
     result = grouped.applyInPandas(
         lambda key, l, r: process(key, l, r), blob_schema
     )
+    cached = None
     if persist:
         # both outputs derive from one pass over the shard state; cache
         # it so unseen + new_shards don't re-run the cogroup
         result = result.persist()
+        cached = result
 
     unseen = result.where(F.col("__unseen") == 1).select(*cand_cols)
     # blob rides on the first row of each shard group; the added count
@@ -209,4 +216,4 @@ def filter_and_update(
             .alias("n_items"),
         )
     )
-    return unseen, new_shards
+    return unseen, new_shards, cached

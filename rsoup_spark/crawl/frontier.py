@@ -22,7 +22,9 @@ crawl-order and seen-set equality are asserted in tests):
 5. harvest anchors from spans (Arrow UDF), canonicalize against the
    source URL, keep http(s), dedup within the round.
 6. Bloom filter-and-insert per host-hash shard (partition-local), then
-   exact anti-join against the seen table as the correctness backstop.
+   exact anti-join of the FULL candidate set against the seen table --
+   the correctness backstop that also recovers and counts Bloom false
+   positives (cfg.exact_backstop; off at production scale).
 7. new frontier entries: depth = min(parent depth)+1, score =
    max(parent score) * decay; frontier' = (allowed - scheduled) + new.
 
@@ -60,6 +62,15 @@ class CrawlConfig:
     m_bits: int = 1 << 20
     bloom_k: int = 5
     host_salt_shards: int = 4  # sub-split hot hosts inside shuffles
+    # exact seen anti-join after the bloom prefilter: recovers bloom
+    # false positives (urls the bloom wrongly claims seen would
+    # otherwise be silently lost).  At 10^10-url scale the bloom is
+    # authoritative and this is turned off (accepting fp-rate loss).
+    exact_backstop: bool = True
+    # coalesce per-round state writes locally (small rounds produce
+    # 32 tiny files per table otherwise); None = natural partitioning
+    # (production: let output committers handle file sizing)
+    checkpoint_coalesce: int | None = 8
 
 
 def _canon_links(links: DataFrame) -> DataFrame:
@@ -144,11 +155,13 @@ class CrawlEngine:
         shards = empty_shards(self.spark, self.cfg.n_shards, self.cfg.m_bits)
         # charge the seeds into the bloom so rediscovered seeds dedup
         seed_cand = with_shard_cols(frontier, "url", "host", self.cfg.n_shards)
-        _, shards = filter_and_update(
+        _, shards, cached = filter_and_update(
             seed_cand, shards, self.cfg.n_shards, self.cfg.m_bits,
             self.cfg.bloom_k,
         )
         shards.write.mode("overwrite").parquet(self._path(0, "shards"))
+        if cached is not None:
+            cached.unpersist()
         self._write_manifest(0, False)
 
     def _read_seen(self, up_to_round: int):
@@ -182,8 +195,6 @@ class CrawlEngine:
             lambda p: path.startswith(p),
         )
         cand = cand.withColumn("blocked", blocked_cond).persist()
-        n_candidates = cand.count()
-        n_blocked = cand.where("blocked").count()
         allowed = cand.where(~F.col("blocked"))
 
         # 2. per-host politeness budget, two-phase against hot-host skew:
@@ -234,14 +245,12 @@ class CrawlEngine:
             "depth",
             "score",
         )
-        order_df.write.mode("overwrite").parquet(self._path(r, "order"))
-        n_scheduled = scheduled.count()
+        self._write(order_df, r, "order")
 
         # 4.-5. fetch + harvest + canonicalize (one fused Python pass)
         from ..operators.extract import harvest_canonical_links
 
         fetched = scheduled.join(self.pages, "url", "left").persist()
-        n_fetched = fetched.where(F.col("html").isNotNull()).count()
         canon = harvest_canonical_links(
             fetched.where(F.col("html").isNotNull()), "url", "html"
         )
@@ -267,35 +276,44 @@ class CrawlEngine:
             )
             .persist()
         )
-        n_links = contrib.count()  # distinct urls discovered this round
 
-        # 6. bloom dedup (partition-local per shard) + exact backstop;
-        # the cogroup provides its own exchange on shard_id
+        # 6. bloom dedup (partition-local per shard); the cogroup
+        # provides its own exchange on shard_id.  probably_new is the
+        # bloom-negative subset -- always truly unseen (no false
+        # negatives), but the bloom's false POSITIVES are urls it
+        # wrongly claims seen: without the exact backstop they are
+        # silently lost.  The backstop anti-joins the full candidate
+        # set against seen, so new_urls is exact and the fp count is
+        # observable as n_new - n_bloom_new (probably_new ⊆ new_urls).
         cand_new = with_shard_cols(contrib, "url", "host", cfg.n_shards)
-        probably_new, new_shards = filter_and_update(
+        probably_new, new_shards, bloom_cache = filter_and_update(
             cand_new, shards, cfg.n_shards, cfg.m_bits, cfg.bloom_k
         )
         probably_new = probably_new.persist()
-        n_bloom_new = probably_new.count()
-        new_urls = probably_new.join(seen, "url", "left_anti").select(
-            "url", "host", "depth", "score"
-        ).persist()
-        n_new = new_urls.count()
+        if cfg.exact_backstop:
+            new_urls = (
+                cand_new.select("url", "host", "depth", "score")
+                .join(seen, "url", "left_anti")
+                .persist()
+            )
+        else:
+            # production path: bloom is authoritative (fp-rate loss
+            # accepted); the seen anti-join shuffle disappears
+            new_urls = probably_new.select(
+                "url", "host", "depth", "score"
+            ).persist()
 
-        # 7. next state
+        # 7. next state (writes also populate the caches the metrics
+        # job reads below)
         next_frontier = (
             allowed.join(scheduled.select("url"), "url", "left_anti")
             .select("url", "host", "depth", "score")
             .unionByName(new_urls)
         )
-        next_frontier.write.mode("overwrite").parquet(
-            self._path(r, "frontier")
-        )
+        self._write(next_frontier, r, "frontier")
         # append-only seen: only this round's new urls are written
-        new_urls.select("url").write.mode("overwrite").parquet(
-            self._path(r, "seen")
-        )
-        new_shards.write.mode("overwrite").parquet(self._path(r, "shards"))
+        self._write(new_urls.select("url"), r, "seen")
+        self._write(new_shards, r, "shards")
 
         # per-partition lineage: which partition produced how many
         # scheduled rows (north_rule: per-partition lineage + metrics)
@@ -304,28 +322,61 @@ class CrawlEngine:
             .agg(F.count("*").alias("urls_scheduled"))
             .withColumn("round", F.lit(r))
         )
-        lineage.write.mode("overwrite").parquet(self._path(r, "lineage"))
+        self._write(lineage, r, "lineage")
+
+        # one metrics job: every branch is persisted, so this is seven
+        # single-row aggregates over caches instead of seven actions
+        def _c(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(F.count("*").cast("long").alias("v")).select(
+                F.lit(name).alias("k"), "v"
+            )
+
+        counts_df = (
+            _c("candidates", cand)
+            .unionByName(_c("blocked", cand.where("blocked")))
+            .unionByName(_c("scheduled", scheduled))
+            .unionByName(
+                _c("fetched", fetched.where(F.col("html").isNotNull()))
+            )
+            .unionByName(_c("discovered", contrib))
+            .unionByName(_c("bloom_new", probably_new))
+            .unionByName(_c("new", new_urls))
+        )
+        vals = {row["k"]: row["v"] for row in counts_df.collect()}  # bounded
 
         metrics = {
             "round": r,
-            "n_candidates": n_candidates,
-            "n_blocked": n_blocked,
-            "n_scheduled": n_scheduled,
-            "n_fetched": n_fetched,
-            "n_discovered": n_links,
-            "n_bloom_new": n_bloom_new,
-            "n_new": n_new,
-            "bloom_false_positives": n_bloom_new - n_new,
+            "n_candidates": vals["candidates"],
+            "n_blocked": vals["blocked"],
+            "n_scheduled": vals["scheduled"],
+            "n_fetched": vals["fetched"],
+            "n_discovered": vals["discovered"],
+            "n_bloom_new": vals["bloom_new"],
+            "n_new": vals["new"],
+            # urls the bloom wrongly claimed seen, recovered by the
+            # exact backstop (None when the backstop is off: without
+            # the exact join the loss is unobservable)
+            "bloom_false_positives": (
+                vals["new"] - vals["bloom_new"]
+                if cfg.exact_backstop else None
+            ),
             "wall_ms": int((time.time() - t0) * 1000),
         }
         with open(self._path(r, "metrics.json"), "w") as f:
             json.dump(metrics, f)
-        self._write_manifest(r, done=n_scheduled == 0)
+        self._write_manifest(r, done=metrics["n_scheduled"] == 0)
 
         for df in (cand, scheduled, fetched, contrib, probably_new,
-                   new_urls):
-            df.unpersist()
+                   new_urls, bloom_cache):
+            if df is not None:
+                df.unpersist()
         return metrics
+
+    def _write(self, df: DataFrame, round_no: int, name: str) -> None:
+        c = self.cfg.checkpoint_coalesce
+        if c:
+            df = df.coalesce(c)
+        df.write.mode("overwrite").parquet(self._path(round_no, name))
 
     # -- driver loop ----------------------------------------------------------
     def run(self, seeds: DataFrame | None = None,

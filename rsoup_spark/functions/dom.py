@@ -38,6 +38,42 @@ VOID_ELEMENTS = frozenset(
 # Elements whose raw content is character data, never markup.
 RAWTEXT_ELEMENTS = frozenset({"script", "style"})
 
+# HTML5 implied-end-tag rules (the malformed-input subset that matters
+# for crawled pages): starting tag T implicitly closes an *immediately
+# open* element whose tag is in _CLOSED_BY[T].  Walking only the top of
+# the stack (repeatedly) keeps scope rules simple: a nested container
+# (ul/table/...) sits between the new tag and any outer same-kind
+# element, so outer elements are never closed through a boundary.
+_P_CLOSERS = (
+    "address article aside blockquote details div dl fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hr main nav ol p pre "
+    "section table ul"
+).split()
+_CLOSED_BY: dict[str, frozenset[str]] = {t: frozenset({"p"}) for t in _P_CLOSERS}
+_CLOSED_BY.update(
+    {
+        "li": frozenset({"li", "p"}),
+        "dt": frozenset({"dt", "dd", "p"}),
+        "dd": frozenset({"dt", "dd", "p"}),
+        "td": frozenset({"td", "th", "p"}),
+        "th": frozenset({"td", "th", "p"}),
+        "tr": frozenset({"tr", "td", "th", "p"}),
+        "thead": frozenset({"tr", "td", "th", "tbody", "p"}),
+        "tbody": frozenset({"tr", "td", "th", "thead", "p"}),
+        "tfoot": frozenset({"tr", "td", "th", "tbody", "thead", "p"}),
+        "option": frozenset({"option"}),
+        "optgroup": frozenset({"option", "optgroup"}),
+    }
+)
+
+
+def _implied_close(stack: list["Node"], tag: str) -> None:
+    closes = _CLOSED_BY.get(tag)
+    if closes is None:
+        return
+    while len(stack) > 1 and stack[-1].tag in closes:
+        stack.pop()
+
 
 class Node:
     """One DOM node: document root, element, or text."""
@@ -136,6 +172,7 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in attr_map:  # first occurrence wins (html5 rule)
                 attr_map[k] = v if v is not None else ""
+        _implied_close(self.stack, tag)
         node = Node(ELEMENT, tag=tag, attrs=attr_map)
         self.stack[-1].append(node)
         if tag not in VOID_ELEMENTS:
@@ -234,19 +271,30 @@ def _fast_parse(html: str) -> Node:
 
         if start_tag is not None:
             tag = start_tag.lower()
-            self_closing = attrs_raw.rstrip().endswith("/")
             attr_map: dict[str, str] = {}
+            last_unquoted_end = -1
             if attrs_raw and ("=" in attrs_raw or attrs_raw.strip("/ \t\r\n")):
                 for am in _ATTR.finditer(attrs_raw):
                     name = am.group(1).lower()
-                    if name == "/" or name in attr_map:
+                    if name in attr_map:
                         continue
                     val = am.group(2)
                     if val is None:
                         val = am.group(3)
                     if val is None:
                         val = am.group(4)
+                        if val is not None:
+                            last_unquoted_end = am.end(4)
                     attr_map[name] = _unescape(val) if val else (val or "")
+            # a trailing '/' marks self-closing ONLY when it is not the
+            # last character of an unquoted attribute value
+            # (`<a href=http://x.com/>` is a normal start tag whose href
+            # keeps its trailing slash, per the HTML5 tokenizer)
+            stripped = attrs_raw.rstrip()
+            self_closing = (
+                stripped.endswith("/") and last_unquoted_end != len(stripped)
+            )
+            _implied_close(stack, tag)
             node = Node(ELEMENT, tag=tag, attrs=attr_map)
             stack[-1].append(node)
             if tag in RAWTEXT_ELEMENTS and not self_closing:

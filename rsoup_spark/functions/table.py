@@ -280,13 +280,19 @@ class URLConverter:
     Bare relative paths (no leading ``/``, ``//`` or ``.``) are left
     unchanged, matching url_converter.rs:35-37; full RFC 3986 resolution
     is done separately by the crawl canonicalizer (SURVEY.md §2.3).
+
+    Host-relative hrefs rebuild on the *host only* -- the reference uses
+    ``url.host_str()`` (url_converter.rs), which drops any port and
+    credentials from the doc URL, so ``https://h:8080/x`` + ``/a`` ->
+    ``https://h/a``.  Arguably lossy, but reference-exact; the crawl
+    canonicalizer keeps non-default ports.
     """
 
     def __init__(self, base_url: str) -> None:
         self.base_url = base_url
         parts = urlsplit(base_url)
         self.scheme = parts.scheme
-        self.host = parts.netloc
+        self.host = parts.hostname or ""
         # the reference errors out on an unparseable doc URL
         # (table.rs:169/url_converter.rs:11-14); we degrade to a no-op so
         # one bad row can't fail an Arrow batch

@@ -11,7 +11,6 @@ Series inside Arrow UDF batches.
 
 from __future__ import annotations
 
-import posixpath
 from typing import Optional
 from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
 
@@ -61,13 +60,13 @@ def canonicalize_url(url: str, base: Optional[str] = None) -> Optional[str]:
     if not netloc:
         return None
 
-    # dot-segment removal + percent-encoding normalization
-    path = posixpath.normpath(path) if path else "/"
-    if path == ".":
+    # dot-segment removal (RFC 3986 §5.2.4 verbatim -- posixpath.normpath
+    # is NOT equivalent: it drops the trailing slash of "/a/." and
+    # special-cases a leading "//", so equivalent URLs would get
+    # distinct seen-set keys) + percent-encoding normalization
+    path = _remove_dot_segments(path) if path else "/"
+    if not path:
         path = "/"
-    # normpath collapses trailing "/" -- put it back (semantic on the web)
-    if url_path_had_trailing_slash(url) and not path.endswith("/"):
-        path += "/"
     path = quote(unquote(path), safe=_PATH_SAFE)
     if not path.startswith("/"):
         path = "/" + path
@@ -76,12 +75,39 @@ def canonicalize_url(url: str, base: Optional[str] = None) -> Optional[str]:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
-def url_path_had_trailing_slash(url: str) -> bool:
-    try:
-        p = urlsplit(url).path
-    except ValueError:
-        return False
-    return p.endswith("/") and p != "/"
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments.  Preserves the trailing
+    slash of "/a/." (-> "/a/") and duplicate slashes ("/a//b"), unlike
+    posixpath.normpath."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1) if path.startswith("/") else path.find("/")
+            if i == -1:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:i])
+                path = path[i:]
+    return "".join(out)
 
 
 def url_host(url: str) -> str:

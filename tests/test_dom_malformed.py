@@ -1,0 +1,137 @@
+"""Malformed-HTML recovery: the implied-end-tag subset of html5ever's
+error handling (reference parses with html5ever,
+/root/reference/src/extractors/mod.rs:20-25) that crawled pages hit
+constantly -- unclosed <p>, list items, table cells/rows -- plus the
+unquoted-attribute self-closing pitfall.
+
+Every case asserts (a) the recovered shape and (b) fast-parser ==
+stdlib-parser equivalence, which is the repo's parser contract.
+Documented divergences from html5ever: no foster parenting, no
+implicit <tbody> insertion (the table scanner walks for <tr> directly,
+so extraction is insensitive to the missing wrapper).
+"""
+
+import pytest
+
+from rsoup_spark.functions.dom import parse_document, parse_document_stdlib
+
+
+def shape(node):
+    out = []
+    for c in node.children:
+        if c.is_text:
+            out.append(("#t", c.text))
+        else:
+            out.append((c.tag, sorted(c.attrs.items()), shape(c)))
+    return out
+
+
+CASES = {
+    # ADVICE: '/' ending an unquoted attribute value is NOT self-closing
+    "unquoted_href_slash": (
+        "<a href=http://x.com/>text</a>",
+        [("a", [("href", "http://x.com/")], [("#t", "text")])],
+    ),
+    "p_without_close": (
+        "<p>one<p>two<p>three",
+        [
+            ("p", [], [("#t", "one")]),
+            ("p", [], [("#t", "two")]),
+            ("p", [], [("#t", "three")]),
+        ],
+    ),
+    "li_without_close_nested_scope": (
+        "<ul><li>a<li>b<ul><li>inner</ul><li>c</ul>",
+        [
+            (
+                "ul",
+                [],
+                [
+                    ("li", [], [("#t", "a")]),
+                    (
+                        "li",
+                        [],
+                        [
+                            ("#t", "b"),
+                            ("ul", [], [("li", [], [("#t", "inner")])]),
+                        ],
+                    ),
+                    ("li", [], [("#t", "c")]),
+                ],
+            )
+        ],
+    ),
+    "table_unclosed_cells_rows": (
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        [
+            (
+                "table",
+                [],
+                [
+                    (
+                        "tr",
+                        [],
+                        [
+                            ("td", [], [("#t", "a")]),
+                            ("td", [], [("#t", "b")]),
+                        ],
+                    ),
+                    ("tr", [], [("td", [], [("#t", "c")])]),
+                ],
+            )
+        ],
+    ),
+    "div_closes_open_p": (
+        "<div><p>para<div>next</div></div>",
+        [
+            (
+                "div",
+                [],
+                [
+                    ("p", [], [("#t", "para")]),
+                    ("div", [], [("#t", "next")]),
+                ],
+            )
+        ],
+    ),
+    "void_with_trailing_slash_value": (
+        "<br/><img src=/img/1.png/>",
+        [("br", [], []), ("img", [("src", "/img/1.png/")], [])],
+    ),
+    "valueless_attr_then_selfclose": (
+        "<input checked/>after",
+        [("input", [("checked", "")], []), ("#t", "after")],
+    ),
+    "dt_dd_chain": (
+        "<dl><dt>t<dd>d<dt>t2</dl>",
+        [
+            (
+                "dl",
+                [],
+                [
+                    ("dt", [], [("#t", "t")]),
+                    ("dd", [], [("#t", "d")]),
+                    ("dt", [], [("#t", "t2")]),
+                ],
+            )
+        ],
+    ),
+    "truncated_document": (
+        "<div><p>cut off mid",
+        [("div", [], [("p", [], [("#t", "cut off mid")])])],
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_malformed_recovery(name):
+    html, want = CASES[name]
+    assert shape(parse_document(html)) == want, name
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_fast_equals_stdlib(name):
+    html, _ = CASES[name]
+    assert shape(parse_document(html)) == shape(
+        parse_document_stdlib(html)
+    ), name

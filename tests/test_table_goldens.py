@@ -161,6 +161,10 @@ def test_href_absolutization():
     assert conv.to_absolute("./sub") == "https://en.wikipedia.org/wiki/sub"
     assert conv.to_absolute("bare/relative") == "bare/relative"
     assert conv.to_absolute("https://a.b/c") == "https://a.b/c"
+    # reference-exact: host_str() drops port and credentials
+    # (url_converter.rs), so host-relative hrefs lose the doc's port
+    conv = URLConverter("https://user:pw@host.test:8080/x/y")
+    assert conv.to_absolute("/a") == "https://host.test/a"
 
 
 def test_cell_hrefs_absolutized_in_extract():

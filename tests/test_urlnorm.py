@@ -25,6 +25,20 @@ def test_basic_rules():
     assert c(None) is None
 
 
+def test_rfc3986_dot_segments():
+    """remove_dot_segments cases posixpath.normpath gets wrong."""
+    c = canonicalize_url
+    # trailing '/.' and '/..' preserve the directory slash (RFC 5.2.4)
+    assert c("http://h.test/a/.") == "http://h.test/a/"
+    assert c("http://h.test/a/") == "http://h.test/a/"
+    assert c("http://h.test/a/b/..") == "http://h.test/a/"
+    # duplicate slashes are NOT collapsed (distinct URIs per RFC)
+    assert c("http://h.test//double//slash") == "http://h.test//double//slash"
+    # leading '..' segments above root are dropped
+    assert c("http://h.test/../x") == "http://h.test/x"
+    assert c("http://h.test/a/../../x") == "http://h.test/x"
+
+
 def test_relative_resolution():
     base = "https://site0.test/page/3"
     assert canonicalize_url("/page/7", base) == "https://site0.test/page/7"
