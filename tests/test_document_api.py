@@ -38,8 +38,81 @@ def test_select_descendant_and_union():
     assert len(bs) == 2
     u = css_select(root, "#a, span.c")
     assert [n.attrs.get("id", n.tag) for n in u] == ["a", "span"]
+    # child combinator: only the direct-child <b> under #b matches
+    direct = css_select(root, "div > b")
+    assert [n.outer_text() for n in direct] == ["y"]
     with pytest.raises(ValueError):
-        css_select(root, "div > b")  # unsupported combinator is explicit
+        css_select(root, "div:hover")  # unsupported pseudo is explicit
+
+
+def test_select_attribute_operators():
+    html = """<html><body>
+      <a href="https://x.test/a.pdf" rel="nofollow ugc">1</a>
+      <a href="/local/page" lang="en-US">2</a>
+      <a href="https://y.test/b.html">3</a>
+      <a>4</a>
+    </body></html>"""
+    root = parse_document(html)
+
+    def texts(sel):
+        return [n.outer_text() for n in css_select(root, sel)]
+
+    assert texts("a[href]") == ["1", "2", "3"]
+    assert texts('a[href="/local/page"]') == ["2"]
+    assert texts("a[href^=https]") == ["1", "3"]
+    assert texts("a[href$='.pdf']") == ["1"]
+    assert texts("a[href*=y.test]") == ["3"]
+    assert texts("a[rel~=nofollow]") == ["1"]
+    assert texts("a[lang|=en]") == ["2"]
+
+
+def test_select_structural_pseudos():
+    html = """<html><body><ul>
+      <li>one</li><li>two</li><li>three</li><li>four</li><li>five</li>
+    </ul></body></html>"""
+    root = parse_document(html)
+
+    def texts(sel):
+        return [n.outer_text() for n in css_select(root, sel)]
+
+    assert texts("li:first-child") == ["one"]
+    assert texts("li:last-child") == ["five"]
+    assert texts("li:nth-child(2)") == ["two"]
+    assert texts("li:nth-child(odd)") == ["one", "three", "five"]
+    assert texts("li:nth-child(2n)") == ["two", "four"]
+    assert texts("li:nth-child(n+4)") == ["four", "five"]
+    assert texts("li:nth-child(-n+2)") == ["one", "two"]
+    assert texts("li:nth-last-child(1)") == ["five"]
+    assert texts("li:not(:first-child)") == ["two", "three", "four", "five"]
+    assert texts("ul :only-child") == []
+
+
+def test_select_sibling_combinators():
+    html = """<html><body>
+      <h2>head</h2><p>first</p><p>second</p><div>x</div><p>third</p>
+    </body></html>"""
+    root = parse_document(html)
+
+    def texts(sel):
+        return [n.outer_text() for n in css_select(root, sel)]
+
+    assert texts("h2 + p") == ["first"]
+    assert texts("h2 ~ p") == ["first", "second", "third"]
+    assert texts("div + p") == ["third"]
+
+
+def test_select_scoped_to_subtree():
+    """Nested select must not match through ancestors above the scope
+    node (scraper ElementRef::select semantics)."""
+    doc = Document(
+        "https://x.test/",
+        '<html><body><div class="outer"><section>'
+        '<p>in</p></section></div><p>out</p></body></html>',
+    )
+    section = doc.select("section")[0]
+    # '.outer p' inside <section>: .outer is above the scope -> no match
+    assert section.select(".outer p") == []
+    assert [v.get_text() for v in section.select("p")] == ["in"]
 
 
 def test_element_accessors_and_html_roundtrip():
