@@ -50,13 +50,17 @@ def main() -> None:
     spark = get_spark("bench-crawl", master=args.master)
     cores = spark.sparkContext.defaultParallelism
 
+    # 4 partitions per core: on a noisy VM the slowest task sets the
+    # stage time, so finer tasks amortize stragglers (the N->4N
+    # efficiency at 32 cores is otherwise bounded by the one slow task
+    # out of 32); same relative layout at both parallelism levels.
     pages = gen_pages(
         spark,
         n_hosts=args.hosts,
         base_pages=args.pages,
         hot_factor=args.hot_factor,
         links_per_page=args.links,
-    ).persist()
+    ).repartition(4 * cores).persist()
     n_pages = pages.count()  # materialize before timing
 
     def noop(df):
@@ -75,7 +79,7 @@ def main() -> None:
         "host",
         8,
     )
-    wu, _ = filter_and_update(wcand, wshards, 8, 1 << 16)
+    wu, _, _ = filter_and_update(wcand, wshards, 8, 1 << 16, persist=False)
     noop(wu)
 
     # -- extraction throughput (best of N: the sandbox VM has noisy
@@ -116,8 +120,11 @@ def main() -> None:
             .withColumn("score", F.lit(1.0))
             .withColumn("depth", F.lit(1))
         )
-        cand = with_shard_cols(discovered, "url", "host", n_shards)
-        unseen, _shards2 = filter_and_update(
+        # salt=16: the hot host (8x pages) spreads over 16 of the 64
+        # bloom shards instead of 4, so no cogroup task carries 3x the
+        # average candidate load
+        cand = with_shard_cols(discovered, "url", "host", n_shards, salt=16)
+        unseen, _shards2, _ = filter_and_update(
             cand, shards, n_shards, m_bits, persist=False
         )
         return unseen

@@ -49,6 +49,7 @@ from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 from .bloom import empty_shards, filter_and_update, with_shard_cols
+from .statestore import ParquetStateStore
 
 DECAY = 0.85
 
@@ -108,10 +109,18 @@ class CrawlEngine:
         robots: DataFrame,
         ckpt_dir: str,
         config: CrawlConfig | None = None,
+        store: ParquetStateStore | None = None,
     ) -> None:
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.ckpt = ckpt_dir
+        # state store abstraction (north_rule: Iceberg checkpoints with
+        # per-partition lineage): parquet-backed in the sandbox, the
+        # IcebergStateStore implements the same interface for clusters
+        # with the runtime jars
+        self.store = store or ParquetStateStore(
+            spark, ckpt_dir, coalesce=self.cfg.checkpoint_coalesce
+        )
         self.pages = pages.select("url", "html")
         robots = robots.withColumn(
             "budget",
@@ -124,16 +133,7 @@ class CrawlEngine:
 
     # -- state io -----------------------------------------------------------
     def _path(self, round_no: int, name: str) -> str:
-        return os.path.join(self.ckpt, f"round={round_no}", name)
-
-    def _manifest_path(self) -> str:
-        return os.path.join(self.ckpt, "manifest.json")
-
-    def _write_manifest(self, round_no: int, done: bool) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"round": round_no, "done": done}, f)
-        os.replace(tmp, self._manifest_path())
+        return self.store.path(round_no, name)
 
     def init_state(self, seeds: DataFrame) -> None:
         os.makedirs(self.ckpt, exist_ok=True)
@@ -143,15 +143,13 @@ class CrawlEngine:
             "depth",
             "score",
         )
-        frontier.write.mode("overwrite").parquet(self._path(0, "frontier"))
+        self.store.write(frontier, 0, "frontier")
         # the seen set is append-only: round r's dir holds only the urls
         # first discovered in round r, so each checkpoint writes O(new)
         # not O(total) -- at 10^10 urls this is the difference between a
         # snapshot append and rewriting the world every round (the
         # Iceberg production analogue is an append commit + MERGE)
-        seeds.select("url").write.mode("overwrite").parquet(
-            self._path(0, "seen")
-        )
+        self.store.write(seeds.select("url"), 0, "seen")
         shards = empty_shards(self.spark, self.cfg.n_shards, self.cfg.m_bits)
         # charge the seeds into the bloom so rediscovered seeds dedup
         seed_cand = with_shard_cols(frontier, "url", "host", self.cfg.n_shards)
@@ -159,23 +157,17 @@ class CrawlEngine:
             seed_cand, shards, self.cfg.n_shards, self.cfg.m_bits,
             self.cfg.bloom_k,
         )
-        shards.write.mode("overwrite").parquet(self._path(0, "shards"))
+        self.store.write(shards, 0, "shards")
         if cached is not None:
             cached.unpersist()
-        self._write_manifest(0, False)
+        self.store.write_manifest(0, done=False)
 
     def _read_seen(self, up_to_round: int):
         """Union of the per-round seen appends (one multi-path scan)."""
-        paths = [
-            self._path(i, "seen")
-            for i in range(up_to_round + 1)
-            if os.path.exists(self._path(i, "seen"))
-        ]
-        return self.spark.read.parquet(*paths)
+        return self.store.read_log("seen", up_to_round)
 
     def last_round(self) -> tuple[int, bool]:
-        with open(self._manifest_path()) as f:
-            m = json.load(f)
+        m = self.store.read_manifest()
         return m["round"], m["done"]
 
     # -- one round -----------------------------------------------------------
@@ -183,9 +175,9 @@ class CrawlEngine:
         """Round r reads round r-1 state and writes round r state."""
         cfg = self.cfg
         t0 = time.time()
-        frontier = self.spark.read.parquet(self._path(r - 1, "frontier"))
+        frontier = self.store.read(r - 1, "frontier")
         seen = self._read_seen(r - 1)
-        shards = self.spark.read.parquet(self._path(r - 1, "shards"))
+        shards = self.store.read(r - 1, "shards")
 
         # 1. robots gate (broadcast join; parse_url stays in codegen)
         cand = frontier.join(F.broadcast(self.robots), "host", "left")
@@ -364,7 +356,24 @@ class CrawlEngine:
         }
         with open(self._path(r, "metrics.json"), "w") as f:
             json.dump(metrics, f)
-        self._write_manifest(r, done=metrics["n_scheduled"] == 0)
+        self.store.write_manifest(
+            r,
+            done=metrics["n_scheduled"] == 0,
+            snapshot={
+                "tables": {
+                    "order": {"rows": metrics["n_scheduled"]},
+                    "seen": {"rows_appended": metrics["n_new"]},
+                    "frontier": {
+                        "rows": metrics["n_candidates"]
+                        - metrics["n_blocked"]
+                        - metrics["n_scheduled"]
+                        + metrics["n_new"]
+                    },
+                    "shards": {"rows": cfg.n_shards},
+                },
+                "lineage": self._path(r, "lineage"),
+            },
+        )
 
         for df in (cand, scheduled, fetched, contrib, probably_new,
                    new_urls, bloom_cache):
@@ -373,10 +382,7 @@ class CrawlEngine:
         return metrics
 
     def _write(self, df: DataFrame, round_no: int, name: str) -> None:
-        c = self.cfg.checkpoint_coalesce
-        if c:
-            df = df.coalesce(c)
-        df.write.mode("overwrite").parquet(self._path(round_no, name))
+        self.store.write(df, round_no, name)
 
     # -- driver loop ----------------------------------------------------------
     def run(self, seeds: DataFrame | None = None,
