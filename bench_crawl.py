@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--hot-factor", type=int, default=8)
     ap.add_argument("--links", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--parts-per-core", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -60,7 +62,7 @@ def main() -> None:
         base_pages=args.pages,
         hot_factor=args.hot_factor,
         links_per_page=args.links,
-    ).repartition(4 * cores).persist()
+    ).repartition(args.parts_per_core * cores).persist()
     n_pages = pages.count()  # materialize before timing
 
     def noop(df):
@@ -90,6 +92,18 @@ def main() -> None:
         noop(extract_spans(pages, "url", "html"))
         extract_runs.append(time.time() - t0)
     t_extract = min(extract_runs)
+
+    if args.extract_only:
+        print(json.dumps({
+            "master": args.master or f"local[{cores}]",
+            "cores": cores,
+            "pages": n_pages,
+            "extract_sec": round(t_extract, 2),
+            "extract_runs": [round(x, 2) for x in extract_runs],
+            "docs_per_sec": round(n_pages / t_extract, 1),
+        }))
+        spark.stop()
+        return
 
     # -- frontier round throughput ---------------------------------------------
     robots = gen_robots(spark, args.hosts).withColumn(

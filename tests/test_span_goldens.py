@@ -93,3 +93,22 @@ def test_media_interleaving_with_img():
         ("img", "", "/i.png"),
         ("text", " after", ""),
     ]
+
+
+def test_g012_multibyte_offsets_are_codepoints_not_bytes():
+    """Documented divergence (SURVEY.md §1.2): reference spans carry Rust
+    BYTE offsets (src/models/rich_text.rs); this engine standardizes on
+    Python CODEPOINT offsets.  On a page with multibyte characters the
+    conventions diverge -- pinned here explicitly so cross-validation
+    against reference-emitted spans on such pages surprises no one
+    (the reference's own ﻿ case, test_table_extractor.py:91)."""
+    html = "<html><body><p>﻿café 中<b>x</b></p></body></html>"
+    spans = spans_from_html("https://g.test/m", html)
+    text, b = spans[0], spans[1]
+    assert (text["kind"], text["text"]) == ("text", "﻿café 中")
+    # codepoint offset of the <b> span = 7 codepoints of preceding text
+    n_codepoints = len(text["text"])
+    n_bytes = len(text["text"].encode("utf-8"))
+    assert b["offset"] == text["offset"] + n_codepoints
+    assert n_bytes != n_codepoints  # 12 bytes vs 7 codepoints here
+    assert b["offset"] != text["offset"] + n_bytes
