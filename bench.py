@@ -63,8 +63,12 @@ def main() -> None:
         "dedup_simhash",
         "sim_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
+        "emb_dup_pairs",
         "lang_id",
         "winnow_fingerprints",
+        "rel_events_json",
+        "pipeline_quality_dedup",
     ]
 
     timings: dict[str, float] = {}
