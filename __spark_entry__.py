@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship extraction (documents -> synthesized
 HTML -> interleaved spans per BASELINE.json input_hint).  ``queries()``
 exposes one DataFrame callable per implemented operator from SURVEY.md
-§2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (the rest get rows-only checks).
+§2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query --
+all 27 are oracle-checked, including the approximate ops, whose
+deterministic md5-derived constructions the SQL replays exactly.
 """
 
 from __future__ import annotations
@@ -425,6 +426,77 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", detect_lang(F.col("text")).alias("pred_lang"))
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_pairs, generated from the same bit count
+    so the construction and its oracle cannot drift.  The oracle checks
+    ALL pairs directly (bit_count(xor) over the n^2 pairs -- fine at
+    oracle scale); the engine finds the same pairs via pigeonhole
+    banding."""
+    from rsoup_spark.ops.dedup import SIMHASH_BITS
+
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fold = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {fold} AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _ann_lsh_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of lsh_ann_topk: the identical md5-derived
+    hyperplane constants are inlined, so the oracle replays the same
+    bucketing + rerank (exact equality even though the op itself is
+    approximate)."""
+    from rsoup_spark.ops.similarity import plane_weights
+
+    planes = plane_weights(n_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[p]}::DOUBLE[]) >= 0 "
+        f"THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  )
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM sig q JOIN sig c USING (bucket)
+  WHERE q.vec_id % 50 = 0 AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _lang_id_sql() -> str:
     """DuckDB mirror of detect_lang, generated from LANG_PROFILES so the
     model and its oracle cannot drift apart."""
@@ -519,7 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "emb_dup_pairs": q_emb_dup_pairs,
         "sim_topk": q_sim_topk,
-        # rows-only (no SQL equivalent): LSH/banding internals + pandas UDFs
+        # approximate/banded ops: their oracles replay the identical
+        # deterministic construction (md5-derived hashes/planes), so
+        # even the approximate results compare exactly
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
@@ -808,6 +882,8 @@ SELECT doc_id, n_tokens, quality FROM (
 ) WHERE rn = 1
 """,
         "lang_id": _lang_id_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "winnow_fingerprints": """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

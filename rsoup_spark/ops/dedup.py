@@ -262,29 +262,43 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60  # top 60 bits of md5 = portable across engines
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash over word hashes, computed
-    relationally: explode words -> per-bit +/-1 votes -> sum -> sign."""
+    """(doc_id, simhash long): SimHash over word hashes, computed
+    relationally: explode words -> per-bit +/-1 votes -> sum -> sign.
+
+    The token hash is the top 60 bits of md5 (15 hex digits), not
+    xxhash64: md5 exists in every engine, so the whole construction --
+    including the final hamming check -- is expressible in ANSI SQL and
+    the gate query gets an exact DuckDB oracle.  60 bits keep the same
+    near-dup behaviour as 64 (hamming thresholds are <= 4)."""
     posting = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
             .otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = posting.groupBy("doc_id").agg(*votes)
     bit_terms = [
         F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
             F.lit(0).cast("long")
         )
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     acc = bit_terms[0]
     for t in bit_terms[1:]:
@@ -300,12 +314,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
-    Pigeonhole banding: with k = max_hamming, split 64 bits into k+1
-    chunks; any pair within distance k agrees on >= 1 whole chunk, so
-    bucket-join per chunk and verify with bit_count(xor).
+    Pigeonhole banding: with k = max_hamming, split the SIMHASH_BITS
+    bits into k+1 chunks; any pair within distance k agrees on >= 1
+    whole chunk, so bucket-join per chunk and verify with
+    bit_count(xor).
     """
     k = max_hamming + 1
-    width = 64 // k
+    width = SIMHASH_BITS // k
     sh = simhash64(docs, id_col, text_col).persist()
 
     chunks = []

@@ -80,31 +80,42 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sig(vec_col, n_planes: int, dim: int, seed: int = 42):
-    """Sign signature against deterministic pseudo-random hyperplanes.
+def plane_weights(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic md5-derived hyperplane weights in [-1, 1].
 
-    Plane weights w[p][d] = xxhash64(p*dim+d, seed) scaled to [-1,1] --
-    reproducible everywhere, no stored model, all JVM-side.
-    """
-    bits = []
+    Derived on the driver from public md5 (no stored model, no RNG
+    state) and inlined as literals, so the identical constants are
+    usable from any engine -- the DuckDB oracle replays the exact same
+    planes."""
+    import hashlib
+
+    out = []
     for p in range(n_planes):
-        terms = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, d: v
-                * (
-                    (
-                        F.xxhash64(F.lit(seed), F.lit(p) * dim + d)
-                        % 20001
-                    ).cast("double")
-                    / 10000.0
-                ),
-            ),
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15],
+                16,
+            )
+            row.append(round((h % 20001 - 10000) / 10000.0, 4))
+        out.append(row)
+    return out
+
+
+def _hyperplane_sig(vec_col, n_planes: int, dim: int, seed: int = 42):
+    """Sign signature against the shared deterministic hyperplanes;
+    per-row JVM dot products against literal weight arrays."""
+    bits = []
+    for row in plane_weights(n_planes, dim, seed):
+        w = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec_col, w, lambda v, wt: v * wt),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0)))
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig * 2 + b
@@ -124,15 +135,16 @@ def lsh_ann_topk(
     exact cosine re-rank within the bucket."""
     from pyspark.sql.window import Window
 
+    vec_d = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _hyperplane_sig(F.col(vec_col), n_planes, dim).alias("bucket"),
+        vec_d.alias("cv"),
+        _hyperplane_sig(vec_d, n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _hyperplane_sig(F.col(vec_col), n_planes, dim).alias("bucket"),
+        vec_d.alias("qv"),
+        _hyperplane_sig(vec_d, n_planes, dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
