@@ -268,26 +268,40 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    method: str = "gemm",
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.  Exact.
 
-    Blocked all-pairs search: vectors hash into ``n_blocks`` blocks, the
-    B*(B+1)/2 unordered block pairs become join keys, and each block
-    pair is scored independently (equi-join on the pair key -- never a
-    CartesianProduct node).  The O(n^2) comparison work is inherent to
-    exact all-pairs, but it is now spread evenly over B*(B+1)/2
-    uniformly-sized tasks with bounded shuffle (each vector is copied
-    (B+1)/2 times), instead of one driver-planned cartesian.  At 100TB
-    pick n_blocks so a block pair fits one task (B ~ n*d*8 / task_mem);
-    for sub-quadratic candidate generation use ``lsh_ann_topk``'s
-    hyperplane buckets and re-rank (probabilistic recall).
+    Blocked all-pairs search: vectors hash into ``n_blocks`` blocks and
+    the B*(B+1)/2 unordered block pairs become join/cogroup keys, so
+    the O(n^2) comparison work spreads evenly over uniformly-sized
+    tasks with bounded shuffle (each vector is copied (B+1)/2 times) --
+    never a CartesianProduct node.  At 100TB pick n_blocks so a block
+    pair fits one task (B ~ sqrt(n*d*8 / task_mem)); for sub-quadratic
+    candidate generation use ``lsh_ann_topk``'s hyperplane buckets and
+    re-rank (probabilistic recall).
+
+    method="gemm" (default): each block pair is scored as ONE numpy
+    matmul inside a cogrouped applyInPandas (vectorized float64 BLAS,
+    ~10-50x the per-pair JVM expression), emitting candidates at
+    tau - 1e-6; survivors are re-scored exactly with the JVM cosine
+    expression, so the result is bit-identical to method="join" (the
+    1e-6 margin swamps the GEMM-vs-sequential float64 summation
+    difference, ~1e-15).
+    method="join": pure-JVM equi-join scoring (no Python stage).
     """
     B = n_blocks
     spark = vectors.sparkSession
     pair_rows = [
         (a * B + b, a, b) for a in range(B) for b in range(a, B)
     ]
+    # two independent tiny DataFrames (not one aliased twice): the
+    # left/right joins would otherwise share lineage and trip Spark's
+    # ambiguous-self-join analysis inside the cogroup
     pairs = spark.createDataFrame(pair_rows, "pk INT, ba INT, bb INT")
+    pairs_r = spark.createDataFrame(
+        [(pk, b) for pk, _a, b in pair_rows], "pk INT, b2 INT"
+    )
 
     v = vectors.select(
         F.col(id_col).alias("id"),
@@ -298,9 +312,60 @@ def embedding_dup_pairs(
         F.col("id").alias("id_x"), F.col("v").alias("vx"), "pk", "ba", "bb"
     )
     right = v.join(
-        F.broadcast(pairs.select("pk", "bb").withColumnRenamed("bb", "b2")),
-        v["blk"] == F.col("b2"),
+        F.broadcast(pairs_r), v["blk"] == pairs_r["b2"]
     ).select(F.col("id").alias("id_y"), F.col("v").alias("vy"), "pk")
+
+    if method == "gemm":
+        margin = 1e-6
+
+        def score(key, l: pd.DataFrame, r: pd.DataFrame):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            same_block = bool(l["ba"].iloc[0] == l["bb"].iloc[0])
+            A = np.array(l["vx"].tolist(), dtype=np.float64)
+            Bm = np.array(r["vy"].tolist(), dtype=np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            Bm /= np.maximum(np.linalg.norm(Bm, axis=1, keepdims=True), 1e-300)
+            sims = A @ Bm.T
+            ia, ib = np.nonzero(sims >= tau - margin)
+            id_x = l["id_x"].to_numpy()[ia]
+            id_y = r["id_y"].to_numpy()[ib]
+            if same_block:
+                keep = id_x < id_y
+            else:
+                keep = id_x != id_y
+            id_x, id_y = id_x[keep], id_y[keep]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(id_x, id_y),
+                    "id_b": np.maximum(id_x, id_y),
+                }
+            )
+
+        cand = (
+            left.groupBy("pk")
+            .cogroup(right.groupBy("pk"))
+            .applyInPandas(score, "id_a LONG, id_b LONG")
+        )
+        va = vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("va"),
+        )
+        vb = vectors.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        )
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .where(F.col("cos") >= tau)
+        )
+
     joined = left.join(right, "pk").where(
         # same-block pairs appear in both orientations: keep one;
         # cross-block pairs appear exactly once: keep it, order below
