@@ -49,7 +49,10 @@ def load_table(
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     par = spark.sparkContext.defaultParallelism
-    if split and df.rdd.getNumPartitions() < par:
+    # inputFiles() is driver-side file listing; the previous
+    # df.rdd.getNumPartitions() forced a full DataFrame->RDD plan
+    # conversion on every table load
+    if split and len(df.inputFiles()) < par:
         df = df.repartition(par)
     return df
 

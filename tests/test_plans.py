@@ -53,6 +53,31 @@ def test_no_unbounded_driver_collect():
 
 
 @pytest.mark.spark
+def test_ann_ivf_probes_broadcast(spark):
+    """IVF search joins the (tiny, exploded-probe) query side as a
+    broadcast -- a shuffle join on the 16-value cell key would be the
+    wrong plan at any scale."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import has_broadcast_join
+
+    assert has_broadcast_join(e.q_ann_ivf(spark, SF_SMALL))
+
+
+@pytest.mark.spark
+def test_emb_dup_gemm_is_cogrouped_python(spark):
+    """The blocked GEMM scorer must be ONE cogrouped Arrow stage
+    (FlatMapCoGroupsInPandas), not per-row Python and not a pair-level
+    join that materializes n^2 rows."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    plan = plan_text(e.q_emb_dup_pairs(spark, SF_SMALL))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
 def test_small_dims_broadcast(spark):
     import __spark_entry__ as e
     from rsoup_spark.plans.review import has_broadcast_join, has_sort_merge_join
