@@ -175,6 +175,19 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _money(col):
+    """Exact-decimal summation for oracle-stable aggregates: double
+    sums are order-dependent (Spark partial aggs vs DuckDB sequential),
+    and a sum landing within float error of a .005 boundary flips the
+    rounded cent between engines.  Casting each term to DECIMAL(18,4)
+    first makes the sum exact and associative on both sides; the result
+    drops back to double after rounding (mirrored in the oracle SQL as
+    CAST(x AS DECIMAL(18,4))).
+    """
+    return F.sum(col.cast("decimal(18,4)"))
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation (groupBy + map-side partial agg)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -182,11 +195,14 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(_money(F.col("l_quantity")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(_money(F.col("l_extendedprice")), 2)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -201,7 +217,8 @@ def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(_money(F.col("o_totalprice")), 2)
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -232,7 +249,8 @@ def q_rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double").alias("sum_value"),
         )
     )
 
@@ -247,7 +265,8 @@ def q_rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double").alias("sum_value"),
         )
     )
 
@@ -265,8 +284,9 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name")
@@ -286,7 +306,8 @@ def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice")), 2).alias("revenue"),
+            F.round(_money(F.col("l_extendedprice")), 2)
+            .cast("double").alias("revenue"),
             F.grouping_id().alias("gid"),
         )
         .select(
@@ -735,9 +756,9 @@ FROM documents
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -746,7 +767,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
         "rel_top_customers": """
 SELECT c_custkey, c_name, c_mktsegment,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
@@ -764,7 +785,7 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         "rel_events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -772,13 +793,13 @@ GROUP BY 1, 2
 SELECT event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
         "rel_region_revenue": """
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -790,7 +811,7 @@ ORDER BY r_name
         "rel_rollup_revenue": """
 SELECT coalesce(r_name, 'ALL') AS region,
        coalesce(n_name, 'ALL') AS nation,
-       round(sum(l_extendedprice), 2) AS revenue,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        grouping(r_name, n_name) AS gid
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
