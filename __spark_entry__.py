@@ -165,6 +165,43 @@ def q_ext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.select("src_url", "href", "anchor_text")
 
 
+def q_ext_css(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 CSS select as a gate query: attribute operators, child/
+    adjacent combinators and :nth-child run against every synthesized
+    page via the Document API (one mapInPandas crossing), with the
+    expected values derivable from the page template for the oracle."""
+    docs = synth_html_docs(spark, sf_dir)
+
+    def run(batches):
+        from rsoup_spark.functions.document import Document
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_cells": [], "src_cell": [],
+                   "tag_href": [], "body": []}
+            for doc_id, url, html in zip(
+                pdf["doc_id"], pdf["url"], pdf["html"]
+            ):
+                d = Document(url, html)
+                cells = d.select("table.doc-meta td, table.doc-meta th")
+                src = d.select(
+                    "table.doc-meta tr:nth-child(2) > td:nth-child(2)"
+                )
+                a = d.select("p > a[href^='/']")
+                body = d.select("h1 + p")
+                out["doc_id"].append(int(doc_id))
+                out["n_cells"].append(len(cells))
+                out["src_cell"].append(src[0].get_text() if src else "")
+                out["tag_href"].append(a[0].attr("href") if a else "")
+                out["body"].append(body[0].get_text() if body else "")
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "url", "html").mapInPandas(
+        run,
+        "doc_id LONG, n_cells INT, src_cell STRING, tag_href STRING, "
+        "body STRING",
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graft op: RFC3986 canonicalization of harvested hrefs."""
     links = q_ext_links(spark, sf_dir)
@@ -597,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_tables": q_ext_tables,
         "ext_context": q_ext_context,
         "ext_links": q_ext_links,
+        "ext_css": q_ext_css,
         "url_canonicalize": q_url_canonicalize,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -746,6 +784,14 @@ FROM documents
 SELECT 'https://docs.test/' || source || '/' || doc_id AS src_url,
        '/' || source || '/' || doc_id AS href,
        lang AS anchor_text
+FROM documents
+""",
+        "ext_css": """
+SELECT doc_id,
+       4 AS n_cells,
+       source AS src_cell,
+       '/' || source || '/' || doc_id AS tag_href,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body
 FROM documents
 """,
         "url_canonicalize": """
