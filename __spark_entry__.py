@@ -4,8 +4,10 @@
 HTML -> interleaved spans per BASELINE.json input_hint).  ``queries()``
 exposes one DataFrame callable per implemented operator from SURVEY.md
 §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query --
-all 27 are oracle-checked, including the approximate ops, whose
-deterministic md5-derived constructions the SQL replays exactly.
+all 29 are oracle-checked, including the approximate ops (whose
+deterministic md5-derived constructions the SQL replays exactly) and
+the Structured Streaming path (drained availableNow, compared to the
+batch SQL).
 """
 
 from __future__ import annotations
@@ -199,6 +201,47 @@ def q_ext_css(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id LONG, n_cells INT, src_cell STRING, tag_href STRING, "
         "body STRING",
+    )
+
+
+def q_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: the synthesized pages are
+    drained through the streaming extraction pipeline (availableNow
+    trigger, parquet sink, exactly-once checkpoint) and the sink is
+    read back -- the stream must produce byte-identical spans to the
+    batch path, so the oracle is the same SQL as ext_spans."""
+    import os
+    import tempfile
+
+    from rsoup_spark.streaming.extract_stream import stream_extract_spans
+
+    base = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    synth_html_docs(spark, sf_dir).select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        "html",
+    ).write.mode("overwrite").parquet(in_dir)
+
+    q = stream_extract_spans(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    spans = spark.read.parquet(out_dir)
+    s = F.posexplode("spans").alias("pos", "s")
+    return (
+        spans.select("doc_id", s)
+        .select(
+            F.split(F.col("doc_id"), "/").getItem(4).cast("bigint")
+            .alias("doc_id"),
+            "pos",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "pos")
     )
 
 
@@ -635,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_context": q_ext_context,
         "ext_links": q_ext_links,
         "ext_css": q_ext_css,
+        "stream_spans": q_stream_spans,
         "url_canonicalize": q_url_canonicalize,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -717,7 +761,7 @@ _JACCARD_SQL_CAPPED = _JACCARD_SQL_TMPL.format(
 def oracle_sql() -> dict[str, str]:
     stopwords = ",".join(f"'{w}'" for w in
                          ("the", "a", "of", "to", "and", "is", "in", "it"))
-    return {
+    out = {
         "ext_spans": f"""
 WITH base AS (
   SELECT doc_id,
@@ -1031,3 +1075,6 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 ) WHERE rank <= 5
 """,
     }
+    # the stream must be byte-identical to the batch extraction
+    out["stream_spans"] = out["ext_spans"]
+    return out
