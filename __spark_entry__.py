@@ -42,6 +42,7 @@ from rsoup_spark.ops.textstats import (
     quality_score,
     rolling_fingerprints,
     token_count,
+    token_count_bpe,
 )
 from rsoup_spark.sources.docs import load_table, synth_html_docs
 
@@ -451,6 +452,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens_bpe"),
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
@@ -565,28 +567,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-def _ann_lsh_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+def _ann_lsh_sql(
+    k: int = 5, n_planes: int = 8, dim: int = 64, n_tables: int = 2
+) -> str:
     """DuckDB mirror of lsh_ann_topk: the identical md5-derived
-    hyperplane constants are inlined, so the oracle replays the same
-    bucketing + rerank (exact equality even though the op itself is
-    approximate)."""
+    hyperplane constants for every hash table are inlined, so the
+    oracle replays the same multi-table bucketing + rerank (exact
+    equality even though the op itself is approximate)."""
     from rsoup_spark.ops.similarity import plane_weights
 
-    planes = plane_weights(n_planes, dim)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {planes[p]}::DOUBLE[]) >= 0 "
-        f"THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
-        for p in range(n_planes)
-    )
+    sig_cols = []
+    for t in range(n_tables):
+        planes = plane_weights(n_planes, dim, seed=42 + t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {planes[p]}::DOUBLE[]) >= 0 "
+            f"THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        sig_cols.append(f"({bucket}) AS b{t}")
+    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
 WITH sig AS (
-  SELECT vec_id, v, {bucket} AS bucket FROM (
+  SELECT vec_id, v, {", ".join(sig_cols)} FROM (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   )
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.v, c.v), 6) AS cos
-  FROM sig q JOIN sig c USING (bucket)
+  FROM sig q JOIN sig c ON ({collide})
   WHERE q.vec_id % 50 = 0 AND c.vec_id != q.vec_id
 )
 SELECT query_id, neighbor_id, cos, rank FROM (
@@ -941,6 +949,8 @@ GROUP BY user_id, session_no
         "text_stats": f"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS n_tokens_bpe,
        round(
          0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
        + 0.3 * (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),

@@ -128,32 +128,54 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share a random-hyperplane bucket,
-    exact cosine re-rank within the bucket."""
+    """Approximate top-k: candidates share a random-hyperplane bucket in
+    ANY of ``n_tables`` independent hash tables (seeds 42+t), exact
+    cosine re-rank over the deduplicated union.
+
+    Multi-table probing is the recall lever at scale: single-table
+    recall falls off a cliff for neighbours near the bucket boundary;
+    each extra table multiplies candidate cost by ~1x while recall
+    approaches 1 - (1 - p)^T."""
     from pyspark.sql.window import Window
 
     vec_d = F.col(vec_col).cast("array<double>")
+
+    def buckets(col):
+        return F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_sig(col, n_planes, dim, seed=42 + t)
+                    .alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vec_d.alias("cv"),
-        _hyperplane_sig(vec_d, n_planes, dim).alias("bucket"),
-    )
+        buckets(vec_d).alias("bk"),
+    ).select("neighbor_id", "cv", "bk.tbl", "bk.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vec_d.alias("qv"),
-        _hyperplane_sig(vec_d, n_planes, dim).alias("bucket"),
-    )
+        buckets(vec_d).alias("bk"),
+    ).select("query_id", "qv", "bk.tbl", "bk.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
+        # a pair colliding in several tables must score once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")

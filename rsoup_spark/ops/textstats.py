@@ -48,6 +48,19 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pretokenization (GPT-2-ish word/number/punct split), kept to
+# ASCII classes so the Java and DuckDB regex engines agree exactly
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col) -> Column:
+    """Tokens under a BPE-ish pretokenizer regex: letter runs, digit
+    runs, and individual punctuation -- the unit LLM token budgeting
+    actually counts (whitespace token_count undercounts punct-heavy
+    text).  JVM regexp_extract_all, oracle-mirrored."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
 def collapsed(col) -> Column:
     """Browser-style whitespace collapse of a flat text column."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))
