@@ -102,9 +102,14 @@ def main() -> None:
             F2.lit(html).alias("html"),
         ).repartition(32).persist()
         wiki.count()
-        t0 = time.time()
-        run_noop(extract_tables(wiki))
-        wiki_pages_per_sec = round(n_wiki / (time.time() - t0), 1)
+        # best-of-3: the 128-page denominator makes single shots swing
+        # 2x with the VM's noisy CPU
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            run_noop(extract_tables(wiki))
+            runs.append(time.time() - t0)
+        wiki_pages_per_sec = round(n_wiki / min(runs), 1)
         wiki.unpersist()
 
     total = round(sum(timings.values()), 3)
