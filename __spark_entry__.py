@@ -947,19 +947,25 @@ FROM sess
 GROUP BY user_id, session_no
 """,
         "text_stats": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ({stopwords}))) AS s,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+         greatest(length(text), 1) AS L
+  FROM documents
+)
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       n AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
          AS n_tokens_bpe,
-       round(
-         0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
-       + 0.3 * (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                t -> t IN ({stopwords})))
-                / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
-       + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                / greatest(length(text), 1)), 6) AS quality,
+       floor((2 * (4000 * least(n, 100) * greatest(n, 1) * L
+                   + 300000 * (s * L + a * greatest(n, 1)))
+              + greatest(n, 1) * L)
+             / (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
        md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
+FROM base
 """,
         "dedup_exact": """
 WITH doubled AS (
@@ -983,18 +989,23 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 """,
         "pipeline_quality_dedup": f"""
-WITH scored AS (
-  SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-         round(
-           0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
-         + 0.3 * (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                  t -> t IN ({",".join(chr(39) + w + chr(39) for w in ("the", "a", "of", "to", "and", "is", "in", "it"))})))
-                  / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
-         + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                  / greatest(length(text), 1)), 6) AS quality,
-         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+WITH base AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ({",".join(chr(39) + w + chr(39) for w in ("the", "a", "of", "to", "and", "is", "in", "it"))}))) AS s,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+         greatest(length(text), 1) AS L
   FROM documents
+), scored AS (
+  SELECT doc_id,
+         n AS n_tokens,
+         floor((2 * (4000 * least(n, 100) * greatest(n, 1) * L
+                   + 300000 * (s * L + a * greatest(n, 1)))
+              + greatest(n, 1) * L)
+             / (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM base
 )
 SELECT doc_id, n_tokens, quality FROM (
   SELECT doc_id, n_tokens, quality,

@@ -74,17 +74,26 @@ def doc_fingerprint(col) -> Column:
 
 def quality_score(text_col) -> Column:
     """Heuristic quality score in [0,1]: length band + stopword ratio +
-    alpha ratio.  Pure built-ins so it survives 100TB without Python."""
+    alpha ratio.  Pure built-ins so it survives 100TB without Python.
+
+    q = 0.4*min(n,100)/100 + 0.3*s/n + 0.3*a/L is a rational of small
+    integers, so the 6-dp rounding is done in exact integer arithmetic
+    (half-up): float evaluation differs between engines in the last bit
+    and a score landing ON the boundary (0.5046875 happened at sf0.1)
+    rounds differently.  floor((2*num+den)/(2*den)) in float64 is exact
+    here: the quotient is >= 1/(2*den) ~ 2.5e-7 away from any other
+    integer, far beyond double ulp at 1e6."""
     toks = tokens(text_col)
-    n = F.size(toks)
-    stop_ratio = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    ) / F.greatest(n, F.lit(1))
-    alpha_ratio = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")) / \
-        F.greatest(F.length(text_col), F.lit(1))
-    len_band = F.least(n / F.lit(100.0), F.lit(1.0))
-    return F.round(
-        0.4 * len_band + 0.3 * stop_ratio + 0.3 * alpha_ratio, 6
+    n = F.size(toks).cast("long")
+    nd = F.greatest(n, F.lit(1))
+    m = F.least(n, F.lit(100))
+    s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    a = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")).cast("long")
+    L = F.greatest(F.length(text_col).cast("long"), F.lit(1))
+    num = 4000 * m * nd * L + 300000 * (s * L + a * nd)
+    den = nd * L
+    return (F.floor((2 * num + den) / (2 * den)) / 1000000.0).alias(
+        "quality"
     )
 
 
