@@ -4,10 +4,12 @@
 HTML -> interleaved spans per BASELINE.json input_hint).  ``queries()``
 exposes one DataFrame callable per implemented operator from SURVEY.md
 §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query --
-all 29 are oracle-checked, including the approximate ops (whose
+all 30 are oracle-checked, including the approximate ops (whose
 deterministic md5-derived constructions the SQL replays exactly) and
-the Structured Streaming path (drained availableNow, compared to the
-batch SQL).
+both Structured Streaming paths -- stateless extraction (drained
+availableNow vs the batch SQL) and the watermarked window aggregation
+(the SQL reproduces the append-mode emission cutoff, so the watermark
+semantics themselves are checked).
 """
 
 from __future__ import annotations
@@ -244,6 +246,59 @@ def q_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (late-data
+    surface): events drain through readStream -> withWatermark(30 min)
+    -> 1-hour window agg -> append parquet sink.  Append mode withholds
+    windows still open at the final watermark (end > max(ts) - 30 min),
+    so the oracle reproduces BOTH the aggregation and the emission
+    cutoff in SQL -- the watermark semantics themselves are what gets
+    checked."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_win_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    load_table(spark, sf_dir, "events", split=False).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        # watermarks need TIMESTAMP; session tz is UTC so the NTZ
+        # values keep their rendering
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_links": q_ext_links,
         "ext_css": q_ext_css,
         "stream_spans": q_stream_spans,
+        "stream_events_windowed": q_stream_events_windowed,
         "url_canonicalize": q_url_canonicalize,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -1098,4 +1154,14 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     }
     # the stream must be byte-identical to the batch extraction
     out["stream_spans"] = out["ext_spans"]
+    out["stream_events_windowed"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
     return out
