@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship extraction (documents -> synthesized
 HTML -> interleaved spans per BASELINE.json input_hint).  ``queries()``
 exposes one DataFrame callable per implemented operator from SURVEY.md
-§2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query --
-all 30 are oracle-checked, including the approximate ops (whose
+§2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query,
+including the approximate ops (whose
 deterministic md5-derived constructions the SQL replays exactly) and
 both Structured Streaming paths -- stateless extraction (drained
 availableNow vs the batch SQL) and the watermarked window aggregation
@@ -488,15 +488,19 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
     )
-    # emit bounds as microsecond-formatted strings so the comparison hash
-    # is independent of tz/precision rendering on either engine
-    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    # emit bounds as INTEGER epoch microseconds: integers hash identically
+    # under any normalization, unlike rendered timestamp strings (which were
+    # the one remaining engine-vs-oracle divergence surface through round 2)
     return (
         sess.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.date_format(F.min("ts"), fmt).alias("session_start"),
-            F.date_format(F.max("ts"), fmt).alias("session_end"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias(
+                "session_end_us"
+            ),
         )
     )
 
@@ -985,8 +989,9 @@ SELECT DISTINCT o_orderkey FROM (
         "rel_sessionize": """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts), 1, 0)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sess AS (
@@ -997,8 +1002,8 @@ WITH gaps AS (
 )
 SELECT user_id, session_no,
        count(*) AS n_events,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
 FROM sess
 GROUP BY user_id, session_no
 """,
