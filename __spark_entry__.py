@@ -547,10 +547,29 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (tau sized to the synthetic
-    embedding distribution, max pairwise cos ~0.6)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, tau=0.4)
+    """Embedding-cosine near-duplicate pairs via the sub-quadratic LSH
+    default (hyperplane-bucket candidates -> exact JVM re-rank).
+
+    The corpus is unioned with an id-shifted, deterministically
+    perturbed copy of itself (coordinate 0 scaled by 1.25 -- exact in
+    binary float, so both engines compute identical vectors): every
+    original gains a planted near-duplicate at cos ~0.99+, while the
+    synthetic background tops out at cos ~0.52, far below tau=0.95.
+    This is the regime the operator exists for at 100TB -- high-tau
+    near-dup detection -- and the oracle is the brute-force all-pairs
+    SQL, so the gate checks LSH recall (every true pair found), not
+    just the re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 1.25).otherwise(x),
+        ).alias("embedding"),
+    )
+    return embedding_dup_pairs(emb.unionByName(pert), tau=0.95)
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,11 +1062,23 @@ HAVING count(*) > 1
 """,
         "dedup_jaccard": _JACCARD_SQL_CAPPED,
         "dedup_minhash_lsh": _JACCARD_SQL_EXACT,
+        # brute-force all-pairs ground truth: green means the LSH
+        # default found EVERY pair with cos >= tau (recall check), not
+        # merely that its re-rank scored candidates correctly
         "emb_dup_pairs": """
+WITH allv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> CASE WHEN i = 1 THEN x * 1.25 ELSE x END)
+           AS v
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
 """,
         "pipeline_quality_dedup": f"""
 WITH base AS (

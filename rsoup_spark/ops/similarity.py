@@ -106,7 +106,9 @@ def plane_weights(
 
 def _hyperplane_sig(vec_col, n_planes: int, dim: int, seed: int = 42):
     """Sign signature against the shared deterministic hyperplanes;
-    per-row JVM dot products against literal weight arrays."""
+    per-row JVM dot products against literal weight arrays.  Kept as the
+    expression-level reference for ``_sig_udf`` (equivalence pytest);
+    the hot paths use the vectorized UDF."""
     bits = []
     for row in plane_weights(n_planes, dim, seed):
         w = F.array(*[F.lit(x) for x in row])
@@ -120,6 +122,40 @@ def _hyperplane_sig(vec_col, n_planes: int, dim: int, seed: int = 42):
     for b in bits[1:]:
         sig = sig * 2 + b
     return sig
+
+
+def _sig_udf(n_planes: int, dim: int, n_tables: int, seed0: int = 42):
+    """Vectorized multi-table signature: ONE numpy GEMM per Arrow batch
+    against the stacked (n_tables*n_planes, dim) plane matrix, returning
+    array<long> of per-table buckets.  Replaces n_tables*n_planes deep
+    literal-expression dot products per row (the round-2 ann_lsh_topk
+    constant-factor regression) with a single BLAS call; the bit
+    semantics (dot >= 0 -> 1, first plane = MSB) are identical to
+    ``_hyperplane_sig``, so the literal-plane SQL oracles replay it
+    exactly.  Sequential-vs-GEMM float64 summation can only flip a bit
+    when a dot product sits within ~1e-13 of zero -- never observed on
+    any fixture; equivalence is pinned by pytest at three scales."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.concatenate(
+        [
+            np.array(plane_weights(n_planes, dim, seed0 + t), dtype=np.float64)
+            for t in range(n_tables)
+        ],
+        axis=0,
+    )  # (n_tables * n_planes, dim)
+    pw2 = 2 ** np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.float64)
+        bits = (M @ mats.T >= 0).astype(np.int64)
+        buckets = bits.reshape(len(M), n_tables, n_planes) @ pw2
+        return pd.Series(list(buckets))
+
+    return sigs
 
 
 def lsh_ann_topk(
@@ -139,33 +175,24 @@ def lsh_ann_topk(
     Multi-table probing is the recall lever at scale: single-table
     recall falls off a cliff for neighbours near the bucket boundary;
     each extra table multiplies candidate cost by ~1x while recall
-    approaches 1 - (1 - p)^T."""
+    approaches 1 - (1 - p)^T.  Signatures are ONE vectorized numpy GEMM
+    per Arrow batch (``_sig_udf``); posexplode turns the per-table
+    bucket array into (tbl, bucket) join keys."""
     from pyspark.sql.window import Window
 
     vec_d = F.col(vec_col).cast("array<double>")
-
-    def buckets(col):
-        return F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_sig(col, n_planes, dim, seed=42 + t)
-                    .alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])
-        )
+    sig = _sig_udf(n_planes, dim, n_tables)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vec_d.alias("cv"),
-        buckets(vec_d).alias("bk"),
-    ).select("neighbor_id", "cv", "bk.tbl", "bk.bucket")
+        F.posexplode(sig(vec_d)).alias("tbl", "bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vec_d.alias("qv"),
-        buckets(vec_d).alias("bk"),
-    ).select("query_id", "qv", "bk.tbl", "bk.bucket")
+        F.posexplode(sig(vec_d)).alias("tbl", "bucket"),
+    )
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -284,34 +311,106 @@ def ivf_topk(
     )
 
 
+def _lsh_tables(tau: float, n_planes: int, target_recall: float) -> int:
+    """Hash-table count for per-pair recall >= target_recall at cos=tau.
+
+    Per-plane collision p1 = 1 - acos(tau)/pi; per-table p1^n_planes;
+    T tables miss with (1 - p1^b)^T.  Capped at 32 -- beyond that the
+    threshold is too low for hyperplane LSH to filter anything and the
+    caller should use the exact blocked GEMM instead."""
+    import math
+
+    p1 = 1.0 - math.acos(max(min(tau, 1.0), -1.0)) / math.pi
+    pt = p1 ** n_planes
+    if pt >= 1.0:
+        return 1
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pt))
+    return max(1, min(t, 32))
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
-    method: str = "gemm",
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int | None = None,
+    dim: int = 64,
+    target_recall: float = 0.999,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.  Exact.
+    """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.
 
-    Blocked all-pairs search: vectors hash into ``n_blocks`` blocks and
-    the B*(B+1)/2 unordered block pairs become join/cogroup keys, so
-    the O(n^2) comparison work spreads evenly over uniformly-sized
-    tasks with bounded shuffle (each vector is copied (B+1)/2 times) --
-    never a CartesianProduct node.  At 100TB pick n_blocks so a block
-    pair fits one task (B ~ sqrt(n*d*8 / task_mem)); for sub-quadratic
-    candidate generation use ``lsh_ann_topk``'s hyperplane buckets and
-    re-rank (probabilistic recall).
+    method="lsh" (default -- the 100TB path): candidate pairs must
+    share a random-hyperplane bucket in at least one of ``n_tables``
+    deterministic hash tables (auto-sized from tau for per-pair recall
+    >= ``target_recall``), then survivors are re-scored with the exact
+    JVM cosine at tau.  Candidate generation touches ~n*T tiny
+    (id, tbl, bucket) rows instead of n^2 vector pairs, so total work
+    is sub-quadratic whenever tau is high enough for the buckets to
+    discriminate (tau >= ~0.8; below that hyperplane collisions stop
+    filtering and the exact blocked methods are the honest choice).
+    Recall is probabilistic over the plane draw but the planes are
+    deterministic (md5-seeded), so a given corpus always yields the
+    same pairs.
 
-    method="gemm" (default): each block pair is scored as ONE numpy
-    matmul inside a cogrouped applyInPandas (vectorized float64 BLAS,
-    ~10-50x the per-pair JVM expression), emitting candidates at
-    tau - 1e-6; survivors are re-scored exactly with the JVM cosine
-    expression, so the result is bit-identical to method="join" (the
-    1e-6 margin swamps the GEMM-vs-sequential float64 summation
-    difference, ~1e-15).
+    Exact methods (every pair scored; quadratic FLOPs, kept as the
+    verification oracle for the LSH path and for low-tau use):
+
+    method="gemm": blocked all-pairs -- vectors hash into ``n_blocks``
+    blocks and the B*(B+1)/2 unordered block pairs become cogroup keys,
+    each scored as ONE numpy matmul (vectorized float64 BLAS, ~10-50x
+    the per-pair JVM expression), emitting candidates at tau - 1e-6;
+    survivors re-scored exactly in the JVM, so the result is
+    bit-identical to method="join" (the 1e-6 margin swamps the
+    GEMM-vs-sequential float64 summation difference, ~1e-15).  Work
+    spreads evenly over uniform tasks with bounded shuffle (each vector
+    copied (B+1)/2 times) -- never a CartesianProduct node.  At 100TB
+    pick n_blocks so a block pair fits one task
+    (B ~ sqrt(n*d*8 / task_mem)).
     method="join": pure-JVM equi-join scoring (no Python stage).
     """
+    if method == "lsh":
+        T = n_tables if n_tables is not None else _lsh_tables(
+            tau, n_planes, target_recall
+        )
+        sig = _sig_udf(n_planes, dim, T)
+        v = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        # candidates carry ids only: the (id, tbl, bucket) rows shuffled
+        # by the bucket join are ~16 bytes each, T copies per vector --
+        # the vectors themselves move once, in the re-rank equi-joins
+        sigd = v.select(
+            "id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
+        )
+        a = sigd.select(
+            F.col("id").alias("id_a"), "tbl", "bucket"
+        )
+        b = sigd.select(
+            F.col("id").alias("id_b"), "tbl", "bucket"
+        )
+        cand = (
+            a.join(b, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
+        )
+        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .where(F.col("cos") >= tau)
+        )
+
     B = n_blocks
     spark = vectors.sparkSession
     pair_rows = [

@@ -65,14 +65,32 @@ def test_ann_ivf_probes_broadcast(spark):
 
 @pytest.mark.spark
 def test_emb_dup_gemm_is_cogrouped_python(spark):
-    """The blocked GEMM scorer must be ONE cogrouped Arrow stage
-    (FlatMapCoGroupsInPandas), not per-row Python and not a pair-level
-    join that materializes n^2 rows."""
+    """The blocked GEMM scorer (the exact verification path) must be ONE
+    cogrouped Arrow stage (FlatMapCoGroupsInPandas), not per-row Python
+    and not a pair-level join that materializes n^2 rows."""
+    from rsoup_spark.ops.similarity import embedding_dup_pairs
+    from rsoup_spark.plans.review import plan_text
+
+    import __spark_entry__ as e
+
+    emb = e.load_table(spark, SF_SMALL, "embeddings")
+    plan = plan_text(embedding_dup_pairs(emb, tau=0.4, method="gemm"))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_emb_dup_lsh_gate_is_bucketed(spark):
+    """The gate's LSH default must be bucket-join shaped: one vectorized
+    Arrow signature stage (ArrowEvalPython), no cogrouped all-pairs
+    scorer, no Cartesian anywhere."""
     import __spark_entry__ as e
     from rsoup_spark.plans.review import plan_text
 
     plan = plan_text(e.q_emb_dup_pairs(spark, SF_SMALL))
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

@@ -162,3 +162,61 @@ class TestOpsRecall:
                  if r["rank"] == 1}
         for r in arows:
             assert r["cos"] <= bbest[r["query_id"]] + 1e-9
+
+    def test_sig_udf_matches_expression(self, spark):
+        """The vectorized numpy signature GEMM must produce bit-identical
+        buckets to the reference JVM literal-expression path for every
+        table (the SQL oracles replay the expression construction)."""
+        from rsoup_spark.ops.similarity import _hyperplane_sig, _sig_udf
+        from rsoup_spark.sources.docs import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        n_tables = 3
+        expr_cols = [
+            _hyperplane_sig(v, 8, 64, seed=42 + t).alias(f"e{t}")
+            for t in range(n_tables)
+        ]
+        sig = _sig_udf(8, 64, n_tables)
+        rows = emb.select("vec_id", *expr_cols,
+                          sig(v).alias("udf")).collect()
+        assert rows
+        for r in rows:
+            assert [r[f"e{t}"] for t in range(n_tables)] == list(r["udf"]), (
+                r["vec_id"]
+            )
+
+    def test_emb_dup_lsh_equals_exact(self, spark):
+        """LSH-default near-dup pairs must equal BOTH exact methods on
+        the planted-duplicate fixture (100% recall at tau; the exact
+        blocked GEMM is the verification oracle for the LSH path)."""
+        import __spark_entry__ as e
+        from rsoup_spark.ops.similarity import embedding_dup_pairs
+
+        emb = e.load_table(spark, SF_SMALL, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        pert = emb.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * 1.25).otherwise(x),
+            ).alias("embedding"),
+        )
+        allv = emb.unionByName(pert)
+
+        def pairs(method):
+            return {
+                (r["id_a"], r["id_b"], r["cos"])
+                for r in embedding_dup_pairs(
+                    allv, tau=0.95, method=method
+                ).collect()
+            }
+
+        lsh, gemm, join = pairs("lsh"), pairs("gemm"), pairs("join")
+        assert gemm == join
+        assert lsh == join, (
+            f"LSH missed {len(join - lsh)} / found {len(lsh - join)} extra"
+        )
+        assert len(lsh) >= emb.count()  # every original has its plant
