@@ -846,6 +846,8 @@ _JACCARD_SQL_CAPPED = _JACCARD_SQL_TMPL.format(
 
 
 def oracle_sql() -> dict[str, str]:
+    from rsoup_spark.ops.textstats import QUALITY_MAX_CHARS as _Q_MAX
+
     stopwords = ",".join(f"'{w}'" for w in
                          ("the", "a", "of", "to", "and", "is", "in", "it"))
     out = {
@@ -1026,26 +1028,31 @@ SELECT user_id, session_no,
 FROM sess
 GROUP BY user_id, session_no
 """,
+        # quality stats mirror quality_score: computed on the first
+        # QUALITY_MAX_CHARS chars, half-up rounded with BIGINT integer
+        # division (//) -- no float rounding anywhere
         "text_stats": f"""
 WITH base AS (
+  SELECT doc_id, text, substr(text, 1, {_Q_MAX}) AS head FROM documents
+), stats AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
-         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         len(regexp_split_to_array(trim(head), '\\s+')) AS n,
+         len(list_filter(regexp_split_to_array(trim(head), '\\s+'),
                          t -> t IN ({stopwords}))) AS s,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
-         greatest(length(text), 1) AS L
-  FROM documents
+         length(regexp_replace(head, '[^A-Za-z]', '', 'g')) AS a,
+         greatest(length(head), 1) AS L
+  FROM base
 )
 SELECT doc_id,
-       n AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
          AS n_tokens_bpe,
-       floor((2 * (4000 * least(n, 100) * greatest(n, 1) * L
-                   + 300000 * (s * L + a * greatest(n, 1)))
-              + greatest(n, 1) * L)
-             / (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
+       ((2 * (4000 * least(n, 100) * greatest(n, 1) * L
+              + 300000 * (s * L + a * greatest(n, 1)))
+         + greatest(n, 1) * L)
+        // (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
        md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
-FROM base
+FROM stats
 """,
         "dedup_exact": """
 WITH doubled AS (
@@ -1082,22 +1089,24 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
 """,
         "pipeline_quality_dedup": f"""
 WITH base AS (
+  SELECT doc_id, text, substr(text, 1, {_Q_MAX}) AS head FROM documents
+), stats AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
-         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         len(regexp_split_to_array(trim(head), '\\s+')) AS n,
+         len(list_filter(regexp_split_to_array(trim(head), '\\s+'),
                          t -> t IN ({",".join(chr(39) + w + chr(39) for w in ("the", "a", "of", "to", "and", "is", "in", "it"))}))) AS s,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
-         greatest(length(text), 1) AS L
-  FROM documents
+         length(regexp_replace(head, '[^A-Za-z]', '', 'g')) AS a,
+         greatest(length(head), 1) AS L
+  FROM base
 ), scored AS (
   SELECT doc_id,
-         n AS n_tokens,
-         floor((2 * (4000 * least(n, 100) * greatest(n, 1) * L
-                   + 300000 * (s * L + a * greatest(n, 1)))
-              + greatest(n, 1) * L)
-             / (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ((2 * (4000 * least(n, 100) * greatest(n, 1) * L
+                + 300000 * (s * L + a * greatest(n, 1)))
+           + greatest(n, 1) * L)
+          // (2 * greatest(n, 1) * L)) / 1000000.0 AS quality,
          md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
-  FROM base
+  FROM stats
 )
 SELECT doc_id, n_tokens, quality FROM (
   SELECT doc_id, n_tokens, quality,

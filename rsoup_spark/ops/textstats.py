@@ -72,29 +72,45 @@ def doc_fingerprint(col) -> Column:
     return F.md5(collapsed(col))
 
 
+# quality is scored over at most this many leading characters.  This
+# bounds per-row work at 100TB AND makes the integer arithmetic below
+# provably exact: without a cap, num ~ 4e5*n*L overflows int64 around
+# L ~ 50MB (silently wrapping in non-ANSI Spark while DuckDB raises,
+# so the engines would diverge); at L <= 1e5 the worst case over all
+# (n, s, a) consistent with L is num <= 4.25e15, so 2*num+den < 2^53
+# and every value below is an exact float64.  The ratios the score
+# feeds are stable well before 100KB of text.
+QUALITY_MAX_CHARS = 100_000
+
+
 def quality_score(text_col) -> Column:
     """Heuristic quality score in [0,1]: length band + stopword ratio +
-    alpha ratio.  Pure built-ins so it survives 100TB without Python.
+    alpha ratio, computed over the first ``QUALITY_MAX_CHARS`` chars.
+    Pure built-ins so it survives 100TB without Python.
 
     q = 0.4*min(n,100)/100 + 0.3*s/n + 0.3*a/L is a rational of small
     integers, so the 6-dp rounding is done in exact integer arithmetic
-    (half-up): float evaluation differs between engines in the last bit
-    and a score landing ON the boundary (0.5046875 happened at sf0.1)
-    rounds differently.  floor((2*num+den)/(2*den)) in float64 is exact
-    here: the quotient is >= 1/(2*den) ~ 2.5e-7 away from any other
-    integer, far beyond double ulp at 1e6."""
-    toks = tokens(text_col)
+    (half-up), never a float round: float evaluation differs between
+    engines in the last bit and a score landing ON a rounding boundary
+    (0.5046875 happened at sf0.1) flips.  The half-up rounding
+    floor((2*num+den) / (2*den)) is computed as (x - x % y) / y: the
+    numerator is then an exact integer multiple k*y with k*y < 2^53
+    (see QUALITY_MAX_CHARS), and IEEE division of the exact double k*y
+    by the exact double y yields exactly k -- no floor-boundary ulp
+    hazard, unlike floor(x/y)."""
+    head = F.substring(text_col, 1, QUALITY_MAX_CHARS)
+    toks = tokens(head)
     n = F.size(toks).cast("long")
     nd = F.greatest(n, F.lit(1))
     m = F.least(n, F.lit(100))
     s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    a = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")).cast("long")
-    L = F.greatest(F.length(text_col).cast("long"), F.lit(1))
+    a = F.length(F.regexp_replace(head, r"[^A-Za-z]", "")).cast("long")
+    L = F.greatest(F.length(head).cast("long"), F.lit(1))
     num = 4000 * m * nd * L + 300000 * (s * L + a * nd)
     den = nd * L
-    return (F.floor((2 * num + den) / (2 * den)) / 1000000.0).alias(
-        "quality"
-    )
+    x = 2 * num + den
+    y = 2 * den
+    return (((x - x % y) / y) / 1000000.0).alias("quality")
 
 
 def lang_scores(text_col) -> dict[str, Column]:
@@ -119,17 +135,54 @@ def lang_scores(text_col) -> dict[str, Column]:
     return out
 
 
-def detect_lang(text_col) -> Column:
+def detect_lang_expr(text_col) -> Column:
     """Trigram-profile language ID as one JVM expression: argmax of
     ``lang_scores``; ties break to the lexicographically smaller code,
-    all-zero scores -> 'und'.  SQL-expressible, so the lang_id gate
-    query has an exact DuckDB oracle."""
+    all-zero scores -> 'und'.  This is the SQL-expressible reference
+    construction the DuckDB oracle replays; it evaluates each profile
+    gram as its own length/replace pass (~90 full-text scans per doc),
+    so the hot path uses the vectorized ``detect_lang`` instead and a
+    pytest pins the two equal."""
     scores = lang_scores(text_col)
     best = F.greatest(*scores.values())
     chain = F.when(best <= 0, F.lit("und"))
     for lang in sorted(scores):
         chain = chain.when(scores[lang] == best, F.lit(lang))
     return chain
+
+
+def detect_lang(text_col) -> Column:
+    """Vectorized trigram-profile language ID (one Arrow batch UDF).
+
+    Semantics are identical to ``detect_lang_expr``: per-gram
+    NON-overlapping occurrence counts (str.count == the length/replace
+    identity, both scan left-to-right), argmax over languages, ties to
+    the lexicographically smaller code, all-zero -> 'und'.  One C-level
+    substring scan per gram replaces one whole-column Catalyst
+    length/replace expression per gram (~40x less plan depth; the
+    round-2 bench regression 0.59s -> 3.55s at sf0.1 came from those
+    90 expression passes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    langs = sorted(LANG_PROFILES)
+
+    @pandas_udf("string")
+    def _detect(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)  # null in, null out (as the JVM expr)
+                continue
+            p = " " + str(t).lower() + " "
+            best_lang, best = "und", 0
+            for lang in langs:
+                sc = sum(p.count(g) for g in LANG_PROFILES[lang])
+                if sc > best:
+                    best, best_lang = sc, lang
+            out.append(best_lang)
+        return pd.Series(out)
+
+    return _detect(text_col)
 
 
 def rolling_fingerprints(

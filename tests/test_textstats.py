@@ -36,6 +36,49 @@ def test_detect_lang_real_sentences(spark):
 
 
 @pytest.mark.spark
+def test_detect_lang_udf_matches_expression(spark):
+    """The vectorized UDF must agree with the SQL-expressible JVM
+    reference construction (which the DuckDB oracle replays) on both
+    the synthetic corpus and real multilingual sentences."""
+    from pyspark.sql import functions as F
+
+    from rsoup_spark.ops.textstats import detect_lang_expr
+    from rsoup_spark.sources.docs import load_table
+
+    real = spark.createDataFrame(SAMPLES, "want STRING, text STRING")
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (real, corpus.select("text")):
+        diff = (
+            df.select(
+                detect_lang(F.col("text")).alias("udf"),
+                detect_lang_expr(F.col("text")).alias("expr"),
+            )
+            .where(F.col("udf") != F.col("expr"))
+            .count()
+        )
+        assert diff == 0
+
+
+@pytest.mark.spark
+def test_quality_score_huge_doc_no_overflow(spark):
+    """Multi-MB documents must not overflow the exact integer scoring
+    (pre-cap, num ~ 4e5*n*L wrapped int64 silently in non-ANSI Spark);
+    the capped score equals the score of the head and stays in [0,1]."""
+    from pyspark.sql import functions as F
+
+    from rsoup_spark.ops.textstats import QUALITY_MAX_CHARS, quality_score
+
+    big = ("the quick brown fox " * 300_000)  # 6M chars, 1.2M tokens
+    df = spark.createDataFrame(
+        [(1, big), (2, big[:QUALITY_MAX_CHARS])], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert rows[1] == rows[2], rows
+    assert 0.0 <= rows[1] <= 1.0
+
+
+@pytest.mark.spark
 def test_winnow_fingerprint_counts(spark):
     """ceil((n_tokens - window + 1) / keep_every) fingerprints per doc
     with >= window tokens; exactly one for shorter docs; deterministic."""
