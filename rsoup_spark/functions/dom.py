@@ -10,10 +10,13 @@ on top of :class:`html.parser.HTMLParser`.  It is intentionally simple:
 * void elements never take children;
 * adjacent text chunks are merged into a single text node (html5ever
   also produces one text node per run);
-* mismatched end tags pop up to the nearest matching open tag and are
-  otherwise ignored (a pragmatic subset of html5 error recovery --
-  divergences from html5ever's foster-parenting rules are documented
-  in the test-suite; our fixtures are well-formed).
+* html5 error recovery covers the cases crawled pages actually hit:
+  implied end tags (p/li/dt/dd/td/tr/option/...), foster parenting of
+  text/elements illegal inside table contexts, and the simple-case
+  adoption agency for misnested formatting elements; mismatched end
+  tags otherwise pop up to the nearest matching open tag.  Remaining
+  documented divergences (tests/test_dom_malformed.py): no implicit
+  <tbody> synthesis, no cross-block adoption agency.
 
 Parse semantics only matter relative to our own synthesized fixtures,
 per SURVEY.md §7 risk 2.
@@ -73,6 +76,161 @@ def _implied_close(stack: list["Node"], tag: str) -> None:
         return
     while len(stack) > 1 and stack[-1].tag in closes:
         stack.pop()
+
+
+# -- html5 foster parenting + (simplified) adoption agency -------------------
+#
+# html5ever (the reference's parser, /root/reference/src/extractors/
+# mod.rs:20-25) relocates content that is illegal directly inside
+# <table>/<thead>/<tbody>/<tfoot>/<tr> to just BEFORE the table ("foster
+# parenting"), and repairs misnested formatting elements like
+# <b><i></b>text</i> by reopening a clone of the implicitly closed
+# formatting element ("adoption agency").  Both are implemented here as
+# shared helpers so the fast tokenizer and the stdlib builder stay
+# tree-equivalent (the repo's parser contract).
+
+# insertion parents that trigger foster parenting
+_TABLE_CONTEXT = frozenset({"table", "thead", "tbody", "tfoot", "tr"})
+# table-furniture start tags: these clear the stack back to the nearest
+# table context first (html5 "clear the stack back to a table/row
+# context"), closing any fostered element still open
+_TABLE_FURNITURE = frozenset(
+    {"caption", "colgroup", "col", "thead", "tbody", "tfoot", "tr", "td",
+     "th"}
+)
+# tags legal directly inside a table context (not fostered)
+_ALLOWED_IN_TABLE = _TABLE_FURNITURE | frozenset(
+    {"table", "script", "style", "template", "form"}
+)
+# the html5 formatting-element set (adoption agency scope)
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+
+def _find_table(stack: list["Node"]) -> Optional["Node"]:
+    for i in range(len(stack) - 1, 0, -1):
+        if stack[i].tag == "table":
+            return stack[i]
+    return None
+
+
+def _foster_insert(stack: list["Node"], node: "Node") -> bool:
+    """Insert ``node`` immediately before the innermost open <table>.
+    Returns False when no table (with a parent) is open -- caller then
+    inserts normally."""
+    tbl = _find_table(stack)
+    if tbl is None or tbl.parent is None:
+        return False
+    parent = tbl.parent
+    idx = parent.children.index(tbl)
+    if node.kind == TEXT and idx > 0 and parent.children[idx - 1].is_text:
+        parent.children[idx - 1].text += node.text
+    else:
+        node.parent = parent
+        parent.children.insert(idx, node)
+    return True
+
+
+def _reopen_pending(stack: list["Node"], pending: list) -> None:
+    """Materialize adoption-agency clones (html5 'reconstruct the active
+    formatting elements', simplified): push a clone of each implicitly
+    closed formatting element at the current insertion point (fostered
+    if that point is a table context)."""
+    specs = pending[:]
+    pending.clear()
+    for tag, attrs in specs:
+        node = Node(ELEMENT, tag=tag, attrs=dict(attrs))
+        cur = stack[-1]
+        if not (cur.tag in _TABLE_CONTEXT and _foster_insert(stack, node)):
+            cur.append(node)
+        stack.append(node)
+
+
+def _insert_text(stack: list["Node"], pending: list, text: str) -> None:
+    if not text:
+        return
+    parent = stack[-1]
+    if parent.tag in RAWTEXT_ELEMENTS:
+        # raw character data: no entity/foster/formatting processing
+        if parent.children and parent.children[-1].is_text:
+            parent.children[-1].text += text
+        else:
+            parent.append(Node(TEXT, text=text))
+        return
+    if pending:
+        _reopen_pending(stack, pending)
+    parent = stack[-1]
+    if (
+        parent.tag in _TABLE_CONTEXT
+        and not text.isspace()
+        and _foster_insert(stack, Node(TEXT, text=text))
+    ):
+        return
+    last = parent.children[-1] if parent.children else None
+    if last is not None and last.kind == TEXT:
+        last.text += text
+    else:
+        parent.append(Node(TEXT, text=text))
+
+
+def _insert_element(
+    stack: list["Node"], pending: list, tag: str,
+    attrs: dict[str, str], push: bool,
+) -> "Node":
+    """Shared start-tag insertion: table-furniture stack clearing,
+    implied end tags, foster parenting.  ``push=False`` for void /
+    self-closing elements."""
+    if tag in _TABLE_FURNITURE or tag == "table":
+        # cell/row/section boundaries are formatting-scope markers
+        pending.clear()
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag in _TABLE_CONTEXT:
+                del stack[i + 1:]
+                break
+    _implied_close(stack, tag)
+    node = Node(ELEMENT, tag=tag, attrs=attrs)
+    cur = stack[-1]
+    fostered = False
+    if cur.tag in _TABLE_CONTEXT and tag not in _ALLOWED_IN_TABLE:
+        # html5 keeps hidden inputs in place; everything else is fostered
+        if not (tag == "input" and attrs.get("type", "").lower() == "hidden"):
+            fostered = _foster_insert(stack, node)
+    if not fostered:
+        cur.append(node)
+    if push:
+        stack.append(node)
+    return node
+
+
+def _handle_end(stack: list["Node"], pending: list, tag: str) -> None:
+    for i in range(len(stack) - 1, 0, -1):
+        if stack[i].tag == tag:
+            above = stack[i + 1:]
+            del stack[i:]
+            if (
+                tag in _FORMATTING
+                and above
+                and all(a.tag in _FORMATTING for a in above)
+            ):
+                # adoption agency (simple case): </b> with <i> still
+                # open implicitly closes the <i>; schedule clones to
+                # reopen at the next text insertion so <b><i></b>text
+                # yields <b><i></i></b><i>text</i> like html5ever,
+                # while <b><i></b></i> leaves no empty clone behind
+                pending.extend((a.tag, dict(a.attrs)) for a in above)
+            elif tag not in _FORMATTING:
+                # closing a block is a formatting-scope boundary
+                pending.clear()
+            return
+    # unmatched end tag: a formatting end tag may cancel a pending
+    # clone (html5: element in the active list but not the open stack
+    # is simply removed); anything else is ignored (error recovery)
+    if tag in _FORMATTING:
+        for j in range(len(pending) - 1, -1, -1):
+            if pending[j][0] == tag:
+                del pending[j]
+                return
 
 
 class Node:
@@ -165,41 +323,50 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node(DOCUMENT)
         self.stack: list[Node] = [self.root]
+        self.pending: list = []  # adoption-agency clones to reopen
+        # text runs are buffered (convert_charrefs splits runs around
+        # entities) so the foster-parenting decision sees the whole run
+        # exactly like the one-pass tokenizer and html5's pending table
+        # character tokens
+        self._text: list[str] = []
+
+    def _flush_text(self) -> None:
+        if self._text:
+            data = "".join(self._text)
+            self._text.clear()
+            _insert_text(self.stack, self.pending, data)
 
     # -- HTMLParser callbacks ---------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush_text()
         attr_map: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_map:  # first occurrence wins (html5 rule)
                 attr_map[k] = v if v is not None else ""
-        _implied_close(self.stack, tag)
-        node = Node(ELEMENT, tag=tag, attrs=attr_map)
-        self.stack[-1].append(node)
-        if tag not in VOID_ELEMENTS:
-            self.stack.append(node)
+        _insert_element(
+            self.stack, self.pending, tag, attr_map,
+            push=tag not in VOID_ELEMENTS,
+        )
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        self._flush_text()
         attr_map: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_map:
                 attr_map[k] = v if v is not None else ""
-        self.stack[-1].append(Node(ELEMENT, tag=tag, attrs=attr_map))
+        _insert_element(self.stack, self.pending, tag, attr_map, push=False)
 
     def handle_endtag(self, tag: str) -> None:
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
-        # unmatched end tag: ignored (error recovery)
+        self._flush_text()
+        _handle_end(self.stack, self.pending, tag)
 
     def handle_data(self, data: str) -> None:
-        if not data:
-            return
-        parent = self.stack[-1]
-        if parent.children and parent.children[-1].is_text:
-            parent.children[-1].text += data
-        else:
-            parent.append(Node(TEXT, text=data))
+        if data:
+            self._text.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush_text()
 
     # comments / doctype / PIs are dropped, as the reference ignores them
     def handle_comment(self, data: str) -> None:
@@ -245,27 +412,17 @@ def _unescape(s: str) -> str:
 def _fast_parse(html: str) -> Node:
     root = Node(DOCUMENT)
     stack = [root]
+    pending: list = []
     pos = 0
     n = len(html)
-
-    def add_text(raw: str) -> None:
-        if not raw:
-            return
-        parent = stack[-1]
-        text = _unescape(raw)
-        last = parent.children[-1] if parent.children else None
-        if last is not None and last.kind == TEXT:
-            last.text += text
-        else:
-            parent.append(Node(TEXT, text=text))
 
     while pos < n:
         m = _TOKEN.search(html, pos)
         if m is None:
-            add_text(html[pos:])
+            _insert_text(stack, pending, _unescape(html[pos:]))
             break
         if m.start() > pos:
-            add_text(html[pos : m.start()])
+            _insert_text(stack, pending, _unescape(html[pos : m.start()]))
         pos = m.end()
         end_tag, start_tag, attrs_raw = m.group(1), m.group(2), m.group(3)
 
@@ -294,10 +451,10 @@ def _fast_parse(html: str) -> Node:
             self_closing = (
                 stripped.endswith("/") and last_unquoted_end != len(stripped)
             )
-            _implied_close(stack, tag)
-            node = Node(ELEMENT, tag=tag, attrs=attr_map)
-            stack[-1].append(node)
             if tag in RAWTEXT_ELEMENTS and not self_closing:
+                node = _insert_element(
+                    stack, pending, tag, attr_map, push=False
+                )
                 # consume raw content up to the closing tag
                 em = _RAW_END[tag].search(html, pos)
                 raw_end = em.start() if em else n
@@ -305,14 +462,13 @@ def _fast_parse(html: str) -> Node:
                     node.append(Node(TEXT, text=html[pos:raw_end]))
                 close = html.find(">", raw_end)
                 pos = (close + 1) if close != -1 else n
-            elif tag not in VOID_ELEMENTS and not self_closing:
-                stack.append(node)
+            else:
+                _insert_element(
+                    stack, pending, tag, attr_map,
+                    push=tag not in VOID_ELEMENTS and not self_closing,
+                )
         elif end_tag is not None:
-            tag = end_tag.lower()
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
+            _handle_end(stack, pending, end_tag.lower())
         # comments / decls / PIs / CDATA dropped
 
     return root

@@ -6,9 +6,13 @@ unquoted-attribute self-closing pitfall.
 
 Every case asserts (a) the recovered shape and (b) fast-parser ==
 stdlib-parser equivalence, which is the repo's parser contract.
-Documented divergences from html5ever: no foster parenting, no
-implicit <tbody> insertion (the table scanner walks for <tr> directly,
-so extraction is insensitive to the missing wrapper).
+Covered html5ever behaviors: implied end tags, foster parenting of
+text/elements illegal inside table contexts, and the simple-case
+adoption agency (misnested formatting elements).  Documented
+divergences: no implicit <tbody> insertion (the table scanner walks
+for <tr> directly, so extraction is insensitive to the missing
+wrapper), and the full adoption agency across block boundaries
+(<b><div></b> keeps the current pop-through recovery).
 """
 
 import pytest
@@ -119,6 +123,83 @@ CASES = {
     "truncated_document": (
         "<div><p>cut off mid",
         [("div", [], [("p", [], [("#t", "cut off mid")])])],
+    ),
+    # -- foster parenting (html5: content illegal inside table context
+    # is relocated to just before the table) --------------------------
+    "foster_text_in_row": (
+        "<table><tr>stray<td>x</td></tr></table>",
+        [
+            ("#t", "stray"),
+            ("table", [], [("tr", [], [("td", [], [("#t", "x")])])]),
+        ],
+    ),
+    "foster_text_in_table_and_tail": (
+        "<table>junk<tr><td>a</td></table>after",
+        [
+            ("#t", "junk"),
+            ("table", [], [("tr", [], [("td", [], [("#t", "a")])])]),
+            ("#t", "after"),
+        ],
+    ),
+    "foster_element_then_row_clears_it": (
+        "<table><b>bold<tr><td>x</td></table>",
+        [
+            ("b", [], [("#t", "bold")]),
+            ("table", [], [("tr", [], [("td", [], [("#t", "x")])])]),
+        ],
+    ),
+    "foster_block_in_table": (
+        "<table><div>block</div><tr><td>a</td></table>",
+        [
+            ("div", [], [("#t", "block")]),
+            ("table", [], [("tr", [], [("td", [], [("#t", "a")])])]),
+        ],
+    ),
+    "hidden_input_not_fostered": (
+        "<table><input type=hidden><tr><td>x</td></table>",
+        [
+            (
+                "table",
+                [],
+                [
+                    ("input", [("type", "hidden")], []),
+                    ("tr", [], [("td", [], [("#t", "x")])]),
+                ],
+            )
+        ],
+    ),
+    "whitespace_kept_inside_table": (
+        "<table> <tr><td>a</td></tr> </table>",
+        [
+            (
+                "table",
+                [],
+                [
+                    ("#t", " "),
+                    ("tr", [], [("td", [], [("#t", "a")])]),
+                    ("#t", " "),
+                ],
+            )
+        ],
+    ),
+    # -- adoption agency (simple case: misnested formatting) ----------
+    "adoption_bi_misnest": (
+        "<b><i>bold italic</b>italic</i>",
+        [
+            ("b", [], [("i", [], [("#t", "bold italic")])]),
+            ("i", [], [("#t", "italic")]),
+        ],
+    ),
+    "adoption_no_content_no_clone": (
+        "<b><i></b></i>x",
+        [("b", [], [("i", [], [])]), ("#t", "x")],
+    ),
+    "adoption_reopens_inside_block": (
+        "<b><i></b><div>y</div>",
+        [
+            ("b", [], [("i", [], [])]),
+            ("div", [], [("i", [], [("#t", "y")])]),
+        ],
     ),
 }
 

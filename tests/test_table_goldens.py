@@ -51,6 +51,27 @@ def test_span_golden_grid():
     assert tables[0].span().to_list() == SPAN_GOLDEN
 
 
+def test_wikipedia_stray_table_text_fostered():
+    """A real Wikipedia page with stray text injected directly inside
+    <table> and <tr> (the most common real-crawl malformation) must
+    extract the identical grid: foster parenting relocates the strays
+    out of the table instead of polluting cells -- the html5ever
+    behavior the reference inherits
+    (/root/reference/src/extractors/mod.rs:20-25)."""
+    html = (
+        RES / "wikipedia/List_of_highest_mountains_on_Earth.html"
+    ).read_text()
+    url = "https://en.wikipedia.org/wiki/List_of_highest_mountains_on_Earth"
+    clean = TableExtractor().extract(url, html)
+    dirty_html = html.replace(
+        "<tbody>", "<tbody>STRAY TABLE TEXT", 1
+    ).replace("<tr>", "<tr>more strays", 1)
+    assert dirty_html != html
+    dirty = TableExtractor().extract(url, dirty_html)
+    assert [t.shape() for t in dirty] == [t.shape() for t in clean]
+    assert dirty[2].to_list() == clean[2].to_list()
+
+
 def test_nova_scotia_page_golden():
     # test_table_extractor.rs:41-47: real page with nested/empty tables
     html = (
