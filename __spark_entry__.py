@@ -207,6 +207,19 @@ def q_ext_css(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch(name: str) -> str:
+    """Fixed scratch root per gate query, wiped on entry -- repeated
+    invocations reuse one tree instead of leaking a mkdtemp each."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "rsoup_spark_gates", name)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def q_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: the synthesized pages are
     drained through the streaming extraction pipeline (availableNow
@@ -214,11 +227,10 @@ def q_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back -- the stream must produce byte-identical spans to the
     batch path, so the oracle is the same SQL as ext_spans."""
     import os
-    import tempfile
 
     from rsoup_spark.streaming.extract_stream import stream_extract_spans
 
-    base = tempfile.mkdtemp(prefix="stream_gate_")
+    base = _scratch("stream_spans")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -257,9 +269,8 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff in SQL -- the watermark semantics themselves are what gets
     checked."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="stream_win_")
+    base = _scratch("stream_win")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -299,6 +310,65 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def q_stream_host_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host cumulative crawl-rate state kept across micro-batches.
+
+    The input is split into exactly three files by doc_id % 3 and the
+    stream runs with maxFilesPerTrigger=1, so the micro-batch structure
+    itself is deterministic and SQL-derivable: a host appears in batch
+    b iff it has a doc with doc_id % 3 == b, hence n_batches ==
+    count(DISTINCT doc_id % 3).  Statefulness is what gets checked --
+    max(docs_total) (the final cumulative value carried across batches
+    by the state store) must equal sum(batch_docs) (the per-batch
+    increments) must equal the plain grouped count; a state reset
+    between batches breaks the first equality, double-counting breaks
+    the second."""
+    import os
+
+    from rsoup_spark.streaming.stateful import host_rate_state
+
+    base = _scratch("stream_state")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        token_count(F.col("text")).cast("long").alias("n_spans"),
+        (F.col("doc_id") % 3).cast("int").alias("b"),
+    )
+    docs.coalesce(1).write.partitionBy("b").mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("host", "n_spans")
+    )
+    q = (
+        host_rate_state(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("host").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("batch_docs").alias("sum_batch_docs"),
+        F.max("docs_total").alias("final_docs"),
+        F.max("spans_total").alias("final_spans"),
+    )
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_css": q_ext_css,
         "stream_spans": q_stream_spans,
         "stream_events_windowed": q_stream_events_windowed,
+        "stream_host_state": q_stream_host_state,
         "url_canonicalize": q_url_canonicalize,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -1208,5 +1279,22 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events, wm
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1, 2
+"""
+    # the stateful op's micro-batch structure is deterministic
+    # (3 files by doc_id % 3, one file per trigger), so per-host batch
+    # counts and cumulative totals are plain SQL over the same docs
+    out["stream_host_state"] = """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_spans,
+         doc_id % 3 AS b
+  FROM documents
+)
+SELECT host,
+       count(DISTINCT b) AS n_batches,
+       count(*) AS sum_batch_docs,
+       count(*) AS final_docs,
+       sum(n_spans) AS final_spans
+FROM d GROUP BY host
 """
     return out
