@@ -108,41 +108,61 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-class IcebergStateStore(ParquetStateStore):
-    """Iceberg-backed store: state tables are Iceberg tables, rounds are
-    append snapshots, the manifest rides in the table properties of a
-    control table.  Requires the iceberg-spark-runtime jar and a
-    configured catalog; unavailable in this sandbox, so tests exercise
-    the shared interface through ParquetStateStore and skip here."""
+class IcebergStateStore:
+    """Iceberg-backed store implementing the same duck-typed interface
+    as ParquetStateStore (deliberately NOT a subclass: the filesystem
+    ``exists()``/JSON-manifest behaviors must never silently run
+    against a catalog).  State tables are catalog tables partitioned by
+    ``round``; each round is an append snapshot (the seen log is an
+    append commit, never a rewrite); the manifest is an append-only
+    ``manifest`` control table whose highest ``commit_seq`` row is the
+    current commit -- the same latest-wins contract as the JSON file.
+
+    Requires the iceberg-spark-runtime jar and a configured catalog at
+    construction (``require_runtime=False`` lets tests drive the exact
+    write/read/manifest logic against a stubbed V2 I/O boundary)."""
 
     def __init__(
         self,
         spark: SparkSession,
-        root: str,
         catalog: str = "spark_catalog",
         namespace: str = "crawl",
+        require_runtime: bool = True,
     ) -> None:
-        if not iceberg_available(spark):
+        if require_runtime and not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath; use "
                 "ParquetStateStore (add iceberg-spark-runtime + a "
                 "catalog config to enable this store)"
             )
-        super().__init__(spark, root, coalesce=None)
+        self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
 
     def _table(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
 
+    def _write_append(self, df: DataFrame, name: str, partition) -> None:
+        full = self._table(name)
+        writer = df.writeTo(full)
+        if self.spark.catalog.tableExists(full):
+            writer.append()
+        else:
+            if partition is not None:
+                writer = writer.partitionedBy(partition)
+            writer.create()
+
+    # -- tables ------------------------------------------------------------
     def write(self, df: DataFrame, round_no: int, name: str) -> None:
         import pyspark.sql.functions as F
 
-        full = self._table(name)
-        df = df.withColumn("round", F.lit(round_no))
         # append snapshot per round; readers time-travel by round column
-        df.writeTo(full).partitionedBy(F.col("round")).createOrReplace() \
-            if round_no == 0 else df.writeTo(full).append()
+        self._write_append(
+            df.withColumn("round", F.lit(round_no)), name, F.col("round")
+        )
 
     def read(self, round_no: int, name: str) -> DataFrame:
         import pyspark.sql.functions as F
@@ -153,6 +173,17 @@ class IcebergStateStore(ParquetStateStore):
             .drop("round")
         )
 
+    def exists(self, round_no: int, name: str) -> bool:
+        import pyspark.sql.functions as F
+
+        if not self.spark.catalog.tableExists(self._table(name)):
+            return False
+        return bool(
+            self.spark.read.table(self._table(name))
+            .where(F.col("round") == round_no)
+            .take(1)
+        )
+
     def read_log(self, name: str, up_to_round: int) -> DataFrame:
         import pyspark.sql.functions as F
 
@@ -161,3 +192,45 @@ class IcebergStateStore(ParquetStateStore):
             .where(F.col("round") <= up_to_round)
             .drop("round")
         )
+
+    # -- manifest ----------------------------------------------------------
+    def write_manifest(
+        self,
+        round_no: int,
+        done: bool,
+        snapshot: Optional[dict] = None,
+    ) -> None:
+        df = self.spark.createDataFrame(
+            [(
+                int(round_no),
+                bool(done),
+                SCHEMA_VERSION,
+                json.dumps(snapshot or {}),
+                # one commit per (round, done) transition, monotonic
+                int(round_no) * 2 + int(bool(done)),
+            )],
+            "round INT, done BOOLEAN, schema_version INT, "
+            "snapshot STRING, commit_seq LONG",
+        )
+        self._write_append(df, "manifest", None)
+
+    def read_manifest(self) -> dict:
+        import pyspark.sql.functions as F
+
+        rows = (
+            self.spark.read.table(self._table("manifest"))
+            .orderBy(F.desc("commit_seq"))
+            .take(1)
+        )
+        if not rows:
+            raise FileNotFoundError("no manifest commit in the store")
+        r = rows[0]
+        doc = {
+            "round": r["round"],
+            "done": r["done"],
+            "schema_version": r["schema_version"],
+        }
+        snap = json.loads(r["snapshot"])
+        if snap:
+            doc["snapshot"] = snap
+        return doc

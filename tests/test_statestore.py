@@ -40,7 +40,85 @@ def test_iceberg_store_gated(spark, tmp_path):
     if iceberg_available(spark):
         pytest.skip("iceberg runtime present; gate test not applicable")
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
-        IcebergStateStore(spark, str(tmp_path / "ice"))
+        IcebergStateStore(spark)
+
+
+@pytest.mark.spark
+def test_iceberg_store_logic_via_stub_catalog(spark, tmp_path, monkeypatch):
+    """Execute the Iceberg store's real write/read/read_log/exists/
+    manifest logic with only the V2 I/O boundary stubbed (an in-memory
+    table dict standing in for the catalog), and pin it behaviorally
+    equal to ParquetStateStore through the shared interface."""
+    tables: dict[str, tuple] = {}  # full name -> (rows, schema)
+
+    class StubWriter:
+        def __init__(self, df, full):
+            self.df, self.full = df, full
+
+        def using(self, fmt):
+            return self
+
+        def partitionedBy(self, col, *cols):
+            return self
+
+        def create(self):
+            if self.full in tables:
+                raise Exception(f"table {self.full} already exists")
+            tables[self.full] = (self.df.collect(), self.df.schema)
+
+        def append(self):
+            rows, schema = tables[self.full]
+            tables[self.full] = (rows + self.df.collect(), schema)
+
+    ddl: list[str] = []
+    probe = spark.createDataFrame([(1,)], "x INT")
+    # patch the CONCRETE classes (Spark 4: pyspark.sql.classic.*)
+    monkeypatch.setattr(
+        type(spark), "sql", lambda self, q, *a, **k: ddl.append(q)
+    )
+    monkeypatch.setattr(
+        type(probe), "writeTo", lambda self, full: StubWriter(self, full)
+    )
+    monkeypatch.setattr(
+        type(spark.read),
+        "table",
+        lambda self, name: spark.createDataFrame(*tables[name]),
+    )
+    monkeypatch.setattr(
+        type(spark.catalog),
+        "tableExists",
+        lambda self, name, dbName=None: name in tables,
+    )
+
+    ice = IcebergStateStore(
+        spark, catalog="stub", namespace="crawl", require_runtime=False
+    )
+    assert ddl and "CREATE NAMESPACE IF NOT EXISTS stub.crawl" in ddl[0]
+    pq = ParquetStateStore(spark, str(tmp_path / "ckpt"))
+
+    df0 = spark.createDataFrame([("a",), ("b",)], "url STRING")
+    df1 = spark.createDataFrame([("c",)], "url STRING")
+    for store in (ice, pq):
+        store.write(df0, 0, "seen")
+        store.write(df1, 1, "seen")
+        store.write_manifest(0, done=True,
+                             snapshot={"tables": {"seen": {"rows": 2}}})
+        store.write_manifest(1, done=False)
+
+    def state(store):
+        return (
+            sorted(r["url"] for r in store.read(1, "seen").collect()),
+            sorted(r["url"] for r in store.read_log("seen", 1).collect()),
+            [store.exists(i, "seen") for i in (0, 1, 2)],
+            store.read_manifest(),
+        )
+
+    assert state(ice) == state(pq)
+    assert state(ice)[3] == {"round": 1, "done": False, "schema_version": 1}
+    # round-partitioned: the seen table is ONE table with a round column
+    assert set(tables) == {"stub.crawl.seen", "stub.crawl.manifest"}
+    seen_rows, seen_schema = tables["stub.crawl.seen"]
+    assert "round" in seen_schema.names and len(seen_rows) == 3
 
 
 @pytest.mark.spark
