@@ -15,8 +15,11 @@ attribute selectors (``[attr]``, ``=``, ``~=``, ``|=``, ``^=``, ``$=``,
 ``:nth-last-child()``/``:not(simple)``.  Unsupported pseudo-classes
 raise ValueError (documented divergence: no pseudo-elements or
 state/tree-order pseudos the extraction surface never needs).
-Matching is subtree-scoped: every compound must match inside the node
-``select`` was called on, mirroring scraper's ElementRef::select.
+Scoping mirrors scraper's ElementRef::select: candidate matches come
+from the subtree of the node ``select`` was called on, but ancestor /
+sibling combinators are evaluated against the full document, so a
+nested ``section.select('.outer p')`` matches when ``.outer`` is an
+ancestor of the scope element.
 """
 
 from __future__ import annotations
@@ -108,6 +111,9 @@ def _parse_selector(css: str) -> list[tuple[list[_Simple], list[str]]]:
             return
         if compounds:
             combs.append(pending or " ")
+        elif pending is not None and pending != " ":
+            # '> p' or 'div, > p': combinator with no left-hand compound
+            raise ValueError(f"dangling combinator in {css!r}")
         compounds.append(cur)
         cur = None
         pending = None
@@ -271,17 +277,21 @@ def css_select(root: Node, css: str) -> list[Node]:
         if i == 0:
             return True
         c = combs[i - 1]
+        # ancestor/sibling combinators walk the FULL document, past the
+        # scope root: scraper's ElementRef::select restricts candidates
+        # to the subtree but matches the selector against the whole
+        # tree, so section.select('.outer p') finds the <p> when .outer
+        # is an ancestor of the scope element
         if c == " ":
             p = node.parent
-            while p is not None and p is not root:
+            while p is not None:
                 if ok(p, compounds, combs, i - 1):
                     return True
                 p = p.parent
             return False
         if c == ">":
             p = node.parent
-            return (p is not None and p is not root
-                    and ok(p, compounds, combs, i - 1))
+            return p is not None and ok(p, compounds, combs, i - 1)
         if c == "+":
             prev = None
             for sib in prev_element_siblings(node):

@@ -101,18 +101,31 @@ def test_select_sibling_combinators():
     assert texts("div + p") == ["third"]
 
 
-def test_select_scoped_to_subtree():
-    """Nested select must not match through ancestors above the scope
-    node (scraper ElementRef::select semantics)."""
+def test_select_scoped_like_scraper():
+    """Nested select: candidates come from the scope subtree, but
+    ancestor combinators evaluate against the FULL document (scraper's
+    ElementRef::select matches the selector on the whole tree)."""
     doc = Document(
         "https://x.test/",
         '<html><body><div class="outer"><section>'
         '<p>in</p></section></div><p>out</p></body></html>',
     )
     section = doc.select("section")[0]
-    # '.outer p' inside <section>: .outer is above the scope -> no match
-    assert section.select(".outer p") == []
+    # '.outer p': .outer is an ancestor of the scope -> the inner <p>
+    # matches (scraper parity); the outside <p> never does (candidates
+    # are subtree-restricted)
+    assert [v.get_text() for v in section.select(".outer p")] == ["in"]
     assert [v.get_text() for v in section.select("p")] == ["in"]
+    assert [v.get_text() for v in section.select("body p")] == ["in"]
+
+
+def test_select_leading_combinator_raises():
+    doc = Document("https://x.test/", "<html><body><p>x</p></body></html>")
+    import pytest as _pytest
+
+    for sel in ("> p", "div, > p", "+ p"):
+        with _pytest.raises(ValueError):
+            doc.select(sel)
 
 
 def test_element_accessors_and_html_roundtrip():
