@@ -134,6 +134,38 @@ def test_robots_and_politeness_enforced(spark, web):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.spark
+def test_bloom_false_positives_recovered_by_backstop(spark, web):
+    """Force bloom false positives (64-bit filter vs hundreds of URLs)
+    and prove (a) the metric observes them, (b) the exact backstop
+    recovers every one: n_new == n_bloom_new + fps each round, and the
+    final crawl order + seen set still equal the oracle simulator."""
+    pages, robots, seeds = web
+    cfg = CrawlConfig(batch_size=24, round_seconds=10.0, max_rounds=12,
+                      n_shards=2, m_bits=64, bloom_k=2)
+    tmp = tempfile.mkdtemp(prefix="crawl_fp_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        history = eng.run(seeds=seeds)
+        fp_total = sum(m["bloom_false_positives"] for m in history)
+        assert fp_total > 0, "64-bit bloom over this web must saturate"
+        for m in history:
+            assert m["n_new"] == m["n_bloom_new"] + m["bloom_false_positives"]
+
+        want_order, want_seen = simulate(
+            graph_of(pages),
+            [(r["url"], r["score"], r["depth"]) for r in seeds.collect()],
+            robots_rows(6),
+            batch_size=cfg.batch_size,
+            round_seconds=cfg.round_seconds,
+            max_rounds=cfg.max_rounds,
+        )
+        assert eng.crawl_order() == want_order
+        assert eng.seen_set() == want_seen
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bloom_no_false_negatives():
     from rsoup_spark.crawl.bloom import _bit_set, _bit_test, probe_positions
 
