@@ -28,6 +28,7 @@ from rsoup_spark.operators.extract import (
     links_from_spans,
 )
 from rsoup_spark.ops.dedup import (
+    dup_clusters,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -667,6 +668,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard near-dup pairs: every
+    clustered doc labeled with its component-min doc id (the survivor
+    a dedup pipeline keeps).  Engine = min-label propagation (one
+    bounded shuffle per round, O(cluster diameter) rounds); oracle =
+    DuckDB recursive-CTE transitive closure over the same edge SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, ngram=3, threshold=0.5, max_doc_freq=1000)
+    return dup_clusters(pairs)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-profile language ID (argmax of per-language profile
     n-gram counts; pure JVM expression, oracle-mirrored in SQL).  The
@@ -857,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # even the approximate results compare exactly
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1187,6 +1200,24 @@ SELECT doc_id, n_tokens, quality FROM (
 """,
         "lang_id": _lang_id_sql(),
         "dedup_simhash": _simhash_sql(),
+        # transitive closure over the SAME capped-jaccard edge SQL:
+        # reach(id, lab) = labels reachable via symmetric+self edges,
+        # min reachable = component min (what label propagation finds)
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL_CAPPED}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lab
+)
+SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id
+""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "winnow_fingerprints": """
 WITH t AS (

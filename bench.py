@@ -61,6 +61,7 @@ def main() -> None:
         "dedup_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
         "sim_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -21,6 +21,11 @@ Scale design notes (the part the 100TB plan hangs on):
                        distance <= k, found by pigeonhole banding
                        (split 64 bits into k+1 chunks, bucket-join on
                        any equal chunk).
+* dup_clusters      -- connected components over any of the pair
+                       outputs above (min-label propagation, one
+                       bounded shuffle per round), giving the
+                       "keep one survivor per duplicate cluster"
+                       assignment a training-data pipeline ends with.
 
 Every operator returns plain DataFrames keyed by doc ids, smallest id
 first, so results are deterministic and oracle-comparable.
@@ -353,4 +358,76 @@ def simhash_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pair edges.
+
+    Returns (doc_id, canonical_id): every doc appearing in ``pairs``
+    labeled with the minimum doc id of its component -- the standard
+    "keep one survivor per duplicate cluster" assignment that follows
+    any pairwise dedup (exact / Jaccard / MinHash / SimHash /
+    embedding), since near-dup relations are not transitive pair-wise
+    but survivors must be picked per transitive cluster.
+
+    Min-label propagation: symmetric edges plus self-loops, then each
+    round every node takes the min label over its neighborhood (one
+    equi-join edges-to-labels + one groupBy = one bounded shuffle per
+    round).  Converges in O(component diameter) rounds; duplicate
+    components are near-cliques (every member pair-matches almost
+    every other), so the diameter is tiny at any corpus size.  The
+    per-round convergence probe is a single count aggregate -- no
+    unbounded driver data.  For adversarially chain-shaped graphs the
+    alternating large-star/small-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) bounds
+    rounds by O(log n); dedup workloads never need it, so the simple
+    one-join round is the right constant factor here.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("v")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .unionByName(nodes.select(F.col("v").alias("src"),
+                                  F.col("v").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # label table keyed by dst so the per-round join needs no renames
+    labels = nodes.select(
+        F.col("v").alias("dst"), F.col("v").alias("label")
+    ).persist()
+    for _ in range(max_rounds):
+        new_labels = (
+            edges.join(labels, "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "dst")
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "dst"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("dst").alias("doc_id"), F.col("label").alias("canonical_id")
     )

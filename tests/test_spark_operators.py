@@ -220,3 +220,37 @@ class TestOpsRecall:
             f"LSH missed {len(join - lsh)} / found {len(lsh - join)} extra"
         )
         assert len(lsh) >= emb.count()  # every original has its plant
+
+
+@pytest.mark.spark
+class TestDupClusters:
+    def test_transitive_chain_and_string_ids(self, spark):
+        """a-b, b-c chain collapses to one component labeled min(a);
+        a disjoint pair keeps its own min; ids are strings to pin the
+        operator generic over id types."""
+        from rsoup_spark.ops.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [("d2", "d1"), ("d2", "d3"), ("d9", "d8")],
+            "id_a STRING, id_b STRING",
+        )
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in dup_clusters(pairs).collect()
+        }
+        assert got == {
+            "d1": "d1", "d2": "d1", "d3": "d1",
+            "d8": "d8", "d9": "d8",
+        }
+
+    def test_long_chain_converges(self, spark):
+        """A 12-node path graph (worst-case diameter for label
+        propagation) still converges to a single component."""
+        from rsoup_spark.ops.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a LONG, id_b LONG"
+        )
+        rows = dup_clusters(pairs).collect()
+        assert len(rows) == 13
+        assert {r["canonical_id"] for r in rows} == {0}
