@@ -197,6 +197,44 @@ def gen_robots(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
+def gen_robots_txt(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
+    """Raw robots.txt bodies (host, robots_txt) with the same semantics
+    as gen_robots PLUS an Allow carve-out: hosts with i % 5 == 1
+    disallow /page/1 but allow /page/12 back in (longest-match-wins
+    makes /page/12* crawlable while /page/1, /page/10.. stay blocked).
+    A decoy specific-agent group and comments exercise the parser."""
+    rows = []
+    for i in range(n_hosts):
+        body = [
+            "# synthetic robots fixture",
+            "User-agent: EvilBot",
+            "Disallow: /",  # must NOT apply to rsoup-spark
+            "",
+            "User-agent: *",
+            "Disallow: /private",
+        ]
+        if i % 5 == 1:
+            body.append("Disallow: /page/1")
+            body.append("Allow: /page/12")
+        body.append(f"Crawl-delay: {float(1 + (i % 3))}")
+        rows.append((host_name(i), "\n".join(body)))
+    return spark.createDataFrame(rows, "host STRING, robots_txt STRING")
+
+
+def robots_rows_txt(n_hosts: int = 8) -> list[tuple]:
+    """Oracle-simulator mirror of gen_robots_txt's parsed semantics:
+    (host, disallow, delay, allow) rows."""
+    rows = []
+    for i in range(n_hosts):
+        disallow = ["/private"]
+        allow: list[str] = []
+        if i % 5 == 1:
+            disallow.append("/page/1")
+            allow.append("/page/12")
+        rows.append((host_name(i), disallow, float(1 + (i % 3)), allow))
+    return rows
+
+
 def gen_seeds(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
     """One seed per even-indexed host, fixed order."""
     schema = StructType(

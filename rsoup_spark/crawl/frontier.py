@@ -12,7 +12,9 @@ Round algorithm (mirrored 1:1 by the oracle simulator in oracle.py --
 crawl-order and seen-set equality are asserted in tests):
 
 1. candidates = frontier |x| broadcast(robots); URLs whose path matches
-   a disallow prefix are dropped for good (counted).
+   a disallow prefix are dropped for good (counted), unless an equally
+   long or longer allow prefix matches (RFC 9309 longest-match-wins,
+   allow winning ties; robots.py parses raw robots.txt to this form).
 2. per-host budget b = max(1, floor(round_seconds / crawl_delay)):
    rank per host by (score desc, depth asc, url asc), keep rank <= b.
 3. global batch: order by (score desc, depth asc, url asc), limit
@@ -122,6 +124,12 @@ class CrawlEngine:
             spark, ckpt_dir, coalesce=self.cfg.checkpoint_coalesce
         )
         self.pages = pages.select("url", "html")
+        if "allow_prefixes" not in robots.columns:
+            # structured-robots compatibility: no allow carve-outs
+            robots = robots.withColumn(
+                "allow_prefixes",
+                F.array().cast("array<string>"),
+            )
         robots = robots.withColumn(
             "budget",
             F.greatest(
@@ -179,12 +187,30 @@ class CrawlEngine:
         seen = self._read_seen(r - 1)
         shards = self.store.read(r - 1, "shards")
 
-        # 1. robots gate (broadcast join; parse_url stays in codegen)
+        # 1. robots gate (broadcast join; parse_url stays in codegen).
+        # RFC 9309 longest-match-wins between allow and disallow with
+        # allow winning ties ("least restrictive rule"): blocked iff
+        # the longest matching disallow prefix is strictly longer than
+        # the longest matching allow prefix (-1 = no match on a side).
         cand = frontier.join(F.broadcast(self.robots), "host", "left")
         path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/"))
-        blocked_cond = F.exists(
-            F.coalesce("disallow_prefixes", F.array()),
-            lambda p: path.startswith(p),
+
+        def longest_match(col: str):
+            return F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.filter(
+                            F.coalesce(col, F.array()),
+                            lambda p: path.startswith(p),
+                        ),
+                        F.length,
+                    )
+                ),
+                F.lit(-1),
+            )
+
+        blocked_cond = longest_match("disallow_prefixes") > longest_match(
+            "allow_prefixes"
         )
         cand = cand.withColumn("blocked", blocked_cond).persist()
         allowed = cand.where(~F.col("blocked"))

@@ -30,20 +30,31 @@ def simulate(
     ``graph`` maps canonical url -> canonical out-links (missing key =
     fetch miss).  ``seeds`` are (url, score, depth).
     """
+    # rows are (host, disallow, delay) or (host, disallow, delay, allow)
     budgets = {
-        host: max(1, math.floor(round_seconds / delay))
-        for host, _prefixes, delay in robots
+        row[0]: max(1, math.floor(round_seconds / row[2]))
+        for row in robots
     }
-    disallow = {host: prefixes for host, prefixes, _d in robots}
+    disallow = {row[0]: row[1] for row in robots}
+    allow = {row[0]: (row[3] if len(row) > 3 else []) for row in robots}
 
     def host_of(url: str) -> str:
         return urlsplit(url).netloc.lower()
 
     def is_blocked(url: str) -> bool:
+        # RFC 9309 longest-match-wins, allow winning ties (mirrors the
+        # frontier's JVM gate expression)
         path = urlsplit(url).path or "/"
-        return any(
-            path.startswith(p) for p in disallow.get(host_of(url), [])
+        host = host_of(url)
+        dmax = max(
+            (len(p) for p in disallow.get(host, []) if path.startswith(p)),
+            default=-1,
         )
+        amax = max(
+            (len(p) for p in allow.get(host, []) if path.startswith(p)),
+            default=-1,
+        )
+        return dmax > amax
 
     # frontier: url -> (depth, score)
     frontier = {u: (d, s) for u, s, d in seeds}
