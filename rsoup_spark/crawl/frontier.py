@@ -51,6 +51,7 @@ from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 from .bloom import empty_shards, filter_and_update, with_shard_cols
+from .cuckoo import empty_cuckoo_shards, filter_and_update_cuckoo
 from .statestore import ParquetStateStore
 
 DECAY = 0.85
@@ -62,8 +63,15 @@ class CrawlConfig:
     round_seconds: float = 10.0
     max_rounds: int = 50
     n_shards: int = 64
+    # which membership structure backs the URL-seen set (north_rule:
+    # "bloom/cuckoo").  Bloom: smallest bits/key, no deletion, FPs only.
+    # Cuckoo: supports deletion (TTL/recrawl), explicit capacity with
+    # observable insert failures (n_failed per shard), 2-bucket lookups.
+    seen_filter: str = "bloom"  # "bloom" | "cuckoo"
     m_bits: int = 1 << 20
     bloom_k: int = 5
+    cuckoo_buckets: int = 1 << 12  # power of two; 4 slots each
+    cuckoo_max_kicks: int = 500
     host_salt_shards: int = 4  # sub-split hot hosts inside shuffles
     # exact seen anti-join after the bloom prefilter: recovers bloom
     # false positives (urls the bloom wrongly claims seen would
@@ -143,6 +151,26 @@ class CrawlEngine:
     def _path(self, round_no: int, name: str) -> str:
         return self.store.path(round_no, name)
 
+    # -- seen-filter dispatch (bloom | cuckoo, same cogroup contract) -------
+    def _empty_shards(self) -> DataFrame:
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            return empty_cuckoo_shards(
+                self.spark, cfg.n_shards, cfg.cuckoo_buckets
+            )
+        return empty_shards(self.spark, cfg.n_shards, cfg.m_bits)
+
+    def _filter_update(self, cand: DataFrame, shards: DataFrame):
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            return filter_and_update_cuckoo(
+                cand, shards, cfg.n_shards, cfg.cuckoo_buckets,
+                cfg.cuckoo_max_kicks,
+            )
+        return filter_and_update(
+            cand, shards, cfg.n_shards, cfg.m_bits, cfg.bloom_k
+        )
+
     def init_state(self, seeds: DataFrame) -> None:
         os.makedirs(self.ckpt, exist_ok=True)
         frontier = seeds.select(
@@ -158,13 +186,10 @@ class CrawlEngine:
         # snapshot append and rewriting the world every round (the
         # Iceberg production analogue is an append commit + MERGE)
         self.store.write(seeds.select("url"), 0, "seen")
-        shards = empty_shards(self.spark, self.cfg.n_shards, self.cfg.m_bits)
-        # charge the seeds into the bloom so rediscovered seeds dedup
+        shards = self._empty_shards()
+        # charge the seeds into the seen filter so rediscovered seeds dedup
         seed_cand = with_shard_cols(frontier, "url", "host", self.cfg.n_shards)
-        _, shards, cached = filter_and_update(
-            seed_cand, shards, self.cfg.n_shards, self.cfg.m_bits,
-            self.cfg.bloom_k,
-        )
+        _, shards, cached = self._filter_update(seed_cand, shards)
         self.store.write(shards, 0, "shards")
         if cached is not None:
             cached.unpersist()
@@ -304,8 +329,8 @@ class CrawlEngine:
         # set against seen, so new_urls is exact and the fp count is
         # observable as n_new - n_bloom_new (probably_new ⊆ new_urls).
         cand_new = with_shard_cols(contrib, "url", "host", cfg.n_shards)
-        probably_new, new_shards, bloom_cache = filter_and_update(
-            cand_new, shards, cfg.n_shards, cfg.m_bits, cfg.bloom_k
+        probably_new, new_shards, bloom_cache = self._filter_update(
+            cand_new, shards
         )
         probably_new = probably_new.persist()
         if cfg.exact_backstop:
@@ -364,6 +389,7 @@ class CrawlEngine:
 
         metrics = {
             "round": r,
+            "seen_filter": cfg.seen_filter,
             "n_candidates": vals["candidates"],
             "n_blocked": vals["blocked"],
             "n_scheduled": vals["scheduled"],
@@ -371,9 +397,14 @@ class CrawlEngine:
             "n_discovered": vals["discovered"],
             "n_bloom_new": vals["bloom_new"],
             "n_new": vals["new"],
-            # urls the bloom wrongly claimed seen, recovered by the
-            # exact backstop (None when the backstop is off: without
-            # the exact join the loss is unobservable)
+            # urls the seen filter wrongly claimed seen, recovered by
+            # the exact backstop (None when the backstop is off:
+            # without the exact join the loss is unobservable).  For
+            # the cuckoo filter a NEGATIVE value is possible in the
+            # overflow regime: a URL whose insert failed earlier reads
+            # unseen again when rediscovered (a false negative -> re-
+            # crawl, never a loss); shard n_failed makes that state
+            # observable directly.
             "bloom_false_positives": (
                 vals["new"] - vals["bloom_new"]
                 if cfg.exact_backstop else None
