@@ -212,6 +212,61 @@ def empty_cuckoo_shards(spark, n_shards: int, n_buckets: int) -> DataFrame:
     return spark.createDataFrame(rows, CUCKOO_SHARD_SCHEMA)
 
 
+def delete_and_update_cuckoo(
+    victims: DataFrame,
+    shards: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """Remove the victims' fingerprints from their shards (TTL/recrawl
+    expiry -- the capability the Bloom twin cannot offer).  ``victims``
+    must carry url_hash + shard_id (``with_shard_cols`` with the same
+    n_shards/salt as inserts); returns the updated shards DataFrame,
+    n_items decremented by the number of fingerprints actually found.
+    Same partition-local cogroup shape as the insert pass."""
+    out_schema = StructType(
+        [
+            StructField("shard_id", IntegerType(), False),
+            StructField("cuckoo", BinaryType(), False),
+            StructField("deleted", LongType(), False),
+        ]
+    )
+
+    def process(key, vic_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        if len(vic_pdf) == 0 or len(shard_pdf) == 0:
+            return pd.DataFrame(columns=["shard_id", "cuckoo", "deleted"])
+        table = (
+            np.frombuffer(shard_pdf.iloc[0]["cuckoo"], dtype=np.uint16)
+            .reshape(-1, SLOTS)
+            .copy()
+        )
+        hashes = vic_pdf["url_hash"].to_numpy(dtype=np.int64)
+        gone = cuckoo_delete(table, hashes)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "cuckoo": [table.tobytes()],
+                "deleted": [int(gone.sum())],
+            }
+        )
+
+    touched = victims.groupBy("shard_id").cogroup(
+        shards.groupBy("shard_id")
+    ).applyInPandas(lambda key, l, r: process(key, l, r), out_schema)
+    return (
+        shards.alias("old")
+        .join(touched.alias("t"), "shard_id", "left")
+        .select(
+            "shard_id",
+            F.coalesce(F.col("t.cuckoo"), F.col("old.cuckoo"))
+            .alias("cuckoo"),
+            (F.col("old.n_items") - F.coalesce(F.col("t.deleted"), F.lit(0)))
+            .cast("long")
+            .alias("n_items"),
+            F.col("old.n_failed"),
+        )
+    )
+
+
 def filter_and_update_cuckoo(
     candidates: DataFrame,
     shards: DataFrame,

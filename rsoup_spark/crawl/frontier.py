@@ -196,12 +196,113 @@ class CrawlEngine:
         self.store.write_manifest(0, done=False)
 
     def _read_seen(self, up_to_round: int):
-        """Union of the per-round seen appends (one multi-path scan)."""
-        return self.store.read_log("seen", up_to_round)
+        """Union of the per-round seen appends (one multi-path scan).
+
+        Once any expiry has happened (``expire``), membership becomes
+        an event-log reduction: a URL is seen iff its latest add round
+        is later than its latest expiry round -- so re-discovered
+        expired URLs re-enter cleanly and double-expiry is idempotent.
+        The plain-append fast path stays shuffle-free for the common
+        no-expiry crawl.
+        """
+        if not self.store.has_log("expired", up_to_round):
+            return self.store.read_log("seen", up_to_round)
+        adds = (
+            self.store.read_log_with_round("seen", up_to_round)
+            .groupBy("url")
+            .agg(F.max("round").alias("add_r"))
+        )
+        exps = (
+            self.store.read_log_with_round("expired", up_to_round)
+            .groupBy("url")
+            .agg(F.max("round").alias("exp_r"))
+        )
+        return (
+            adds.join(exps, "url", "left")
+            .where(F.col("add_r") > F.coalesce(F.col("exp_r"), F.lit(-1)))
+            .select("url")
+        )
 
     def last_round(self) -> tuple[int, bool]:
         m = self.store.read_manifest()
         return m["round"], m["done"]
+
+    # -- TTL / recrawl expiry ------------------------------------------------
+    def expire(self, urls: DataFrame, reenqueue: bool = True,
+               score: float = 1.0) -> dict:
+        """Between-rounds maintenance: forget ``urls`` (one ``url``
+        column) from the seen set so the crawler revisits them.
+
+        Mechanics per seen-filter backend:
+
+        * ``cuckoo`` -- the URLs' fingerprints are physically deleted
+          from the shards (partition-local cogroup pass), so recrawl
+          works even in the production backstop-off mode where the
+          filter is authoritative.
+        * ``bloom`` -- bits cannot be cleared, so expiry rides entirely
+          on the expired event log + the exact backstop anti-join; the
+          filter's stale 'seen' claims surface as recovered false
+          positives in the round metrics.  With the backstop off this
+          combination cannot recrawl, so it raises.
+
+        Either way the URL is appended to the ``expired`` log at the
+        current round (``_read_seen`` then applies last-add-wins vs
+        last-expiry-wins), and with ``reenqueue`` it re-enters the
+        frontier at depth 0 with ``score`` so the politeness scheduler
+        picks it up next round instead of waiting for organic
+        rediscovery.  Resumable like everything else: both writes land
+        in the current round's checkpoint before the method returns.
+        """
+        cfg = self.cfg
+        if cfg.seen_filter == "bloom" and not cfg.exact_backstop:
+            raise ValueError(
+                "bloom cannot delete: expiry needs exact_backstop=True "
+                "or seen_filter='cuckoo'"
+            )
+        r, _ = self.last_round()
+        victims = urls.select(
+            "url",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        ).persist()
+        n = victims.count()
+        # append: several expire() calls can land in the same round
+        self.store.write(victims.select("url"), r, "expired",
+                         mode="append")
+        if cfg.seen_filter == "cuckoo":
+            from .cuckoo import delete_and_update_cuckoo
+
+            shards = self.store.read(r, "shards")
+            vic = with_shard_cols(victims, "url", "host", cfg.n_shards)
+            self.store.rewrite(
+                delete_and_update_cuckoo(vic, shards, cfg.cuckoo_buckets),
+                r,
+                "shards",
+            )
+        if reenqueue:
+            frontier = self.store.read(r, "frontier")
+            merged = (
+                frontier.unionByName(
+                    victims.select(
+                        "url",
+                        "host",
+                        F.lit(0).alias("depth"),
+                        F.lit(score).alias("score"),
+                    )
+                )
+                # a URL already in the frontier keeps its best priority
+                .groupBy("url", "host")
+                .agg(
+                    F.min("depth").alias("depth"),
+                    F.max("score").alias("score"),
+                )
+            )
+            self.store.rewrite(merged, r, "frontier")
+            # a finished crawl has work again: clear done so resume runs
+            m = self.store.read_manifest()
+            self.store.write_manifest(r, done=False,
+                                      snapshot=m.get("snapshot"))
+        victims.unpersist()
+        return {"round": r, "n_expired": n, "reenqueued": bool(reenqueue)}
 
     # -- one round -----------------------------------------------------------
     def run_round(self, r: int) -> dict:
@@ -353,9 +454,30 @@ class CrawlEngine:
             .select("url", "host", "depth", "score")
             .unionByName(new_urls)
         )
+        if self.store.has_log("expired", r - 1):
+            # after an expiry, a re-enqueued URL can ALSO be organically
+            # rediscovered before it gets scheduled (it is no longer in
+            # seen), putting it in both union branches -- collapse to
+            # the best priority.  Expiry-only: the plain crawl's union
+            # branches are disjoint by the seen anti-join, so the extra
+            # shuffle would be waste there.
+            next_frontier = next_frontier.groupBy("url", "host").agg(
+                F.min("depth").alias("depth"),
+                F.max("score").alias("score"),
+            )
         self._write(next_frontier, r, "frontier")
         # append-only seen: only this round's new urls are written
-        self._write(new_urls.select("url"), r, "seen")
+        new_seen = new_urls.select("url")
+        if self.store.has_log("expired", r - 1):
+            # recrawl path: an expired URL re-enqueued by expire() is
+            # scheduled while absent from seen -- crawling it re-seens
+            # it even when no surviving page links to it.  Expiry-only
+            # branch; in a plain crawl scheduled ⊆ seen always.
+            rescheduled = scheduled.select("url").join(
+                seen, "url", "left_anti"
+            )
+            new_seen = new_seen.unionByName(rescheduled).distinct()
+        self._write(new_seen, r, "seen")
         self._write(new_shards, r, "shards")
 
         # per-partition lineage: which partition produced how many

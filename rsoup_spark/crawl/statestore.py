@@ -47,10 +47,11 @@ class ParquetStateStore:
     def path(self, round_no: int, name: str) -> str:
         return os.path.join(self.root, f"round={round_no}", name)
 
-    def write(self, df: DataFrame, round_no: int, name: str) -> None:
+    def write(self, df: DataFrame, round_no: int, name: str,
+              mode: str = "overwrite") -> None:
         if self.coalesce:
             df = df.coalesce(self.coalesce)
-        df.write.mode("overwrite").parquet(self.path(round_no, name))
+        df.write.mode(mode).parquet(self.path(round_no, name))
 
     def read(self, round_no: int, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(round_no, name))
@@ -67,6 +68,45 @@ class ParquetStateStore:
             if self.exists(i, name)
         ]
         return self.spark.read.parquet(*paths)
+
+    def has_log(self, name: str, up_to_round: int) -> bool:
+        return any(
+            self.exists(i, name) for i in range(up_to_round + 1)
+        )
+
+    def read_log_with_round(self, name: str, up_to_round: int) -> DataFrame:
+        """Like read_log but tagging each row with the round it was
+        appended in (the Iceberg table carries the column natively;
+        parquet recovers it from the directory layout)."""
+        from functools import reduce
+
+        import pyspark.sql.functions as F
+
+        parts = [
+            self.read(i, name).withColumn("round", F.lit(i))
+            for i in range(up_to_round + 1)
+            if self.exists(i, name)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def rewrite(self, df: DataFrame, round_no: int, name: str) -> None:
+        """Replace a round's table in place (expiry/maintenance only --
+        normal rounds never rewrite).  Parquet cannot atomically
+        overwrite a path that is also the read source, so this stages
+        to a sibling dir and swaps; the Iceberg analogue is an atomic
+        overwritePartitions snapshot."""
+        import shutil
+
+        target = self.path(round_no, name)
+        staging = target + ".staging"
+        if self.coalesce:
+            df = df.coalesce(self.coalesce)
+        df.write.mode("overwrite").parquet(staging)
+        old = target + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(target, old)
+        os.rename(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- manifest ------------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -156,10 +196,15 @@ class IcebergStateStore:
             writer.create()
 
     # -- tables ------------------------------------------------------------
-    def write(self, df: DataFrame, round_no: int, name: str) -> None:
+    def write(self, df: DataFrame, round_no: int, name: str,
+              mode: str = "overwrite") -> None:
         import pyspark.sql.functions as F
 
-        # append snapshot per round; readers time-travel by round column
+        # append snapshot per round; readers time-travel by round
+        # column.  ``mode`` is part of the duck-typed interface but
+        # moot here: every write IS an append commit (per-round
+        # "overwrite" and "append" coincide because rounds write once;
+        # multi-write-per-round tables like `expired` just append).
         self._write_append(
             df.withColumn("round", F.lit(round_no)), name, F.col("round")
         )
@@ -192,6 +237,33 @@ class IcebergStateStore:
             .where(F.col("round") <= up_to_round)
             .drop("round")
         )
+
+    def has_log(self, name: str, up_to_round: int) -> bool:
+        import pyspark.sql.functions as F
+
+        if not self.spark.catalog.tableExists(self._table(name)):
+            return False
+        return bool(
+            self.spark.read.table(self._table(name))
+            .where(F.col("round") <= up_to_round)
+            .take(1)
+        )
+
+    def read_log_with_round(self, name: str, up_to_round: int) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        return self.spark.read.table(self._table(name)).where(
+            F.col("round") <= up_to_round
+        )
+
+    def rewrite(self, df: DataFrame, round_no: int, name: str) -> None:
+        """Atomic replacement of one round partition (expiry
+        maintenance): a single Iceberg overwritePartitions snapshot."""
+        import pyspark.sql.functions as F
+
+        df.withColumn("round", F.lit(round_no)).writeTo(
+            self._table(name)
+        ).overwritePartitions()
 
     # -- manifest ----------------------------------------------------------
     def write_manifest(

@@ -389,15 +389,22 @@ def dup_clusters(
     rounds by O(log n); dedup workloads never need it, so the simple
     one-join round is the right constant factor here.
     """
+    # pin the edge list first: pairs is typically an expensive similarity
+    # join (shingle/LSH/GEMM) and every derivation below re-reads it --
+    # without this persist the upstream join recomputes once per
+    # consumer (nodes, edges, labels = up to 5 full replays)
+    pairs = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).persist()
     nodes = (
-        pairs.select(F.col(id_a).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("v")))
+        pairs.select(F.col("a").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("v")))
         .distinct()
     )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         .unionByName(nodes.select(F.col("v").alias("src"),
                                   F.col("v").alias("dst")))
@@ -428,6 +435,7 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("dst").alias("doc_id"), F.col("label").alias("canonical_id")
     )

@@ -1,0 +1,158 @@
+"""TTL/recrawl expiry: forget seen URLs, revisit them, stay resumable.
+
+Covers the event-log seen semantics (last add vs last expiry), the
+physical cuckoo fingerprint deletion, the bloom+backstop logical path,
+and the unsupported bloom-authoritative combination.
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rsoup_spark.crawl.fixtures import gen_pages, gen_robots, gen_seeds
+from rsoup_spark.crawl.frontier import CrawlConfig, CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages = gen_pages(
+        spark, n_hosts=4, base_pages=6, hot_factor=4, links_per_page=5,
+        seed=77,
+    ).persist()
+    pages.count()
+    return pages, gen_robots(spark, n_hosts=4), gen_seeds(spark, n_hosts=4)
+
+
+def _run_to_done(spark, web, cfg, tmp):
+    pages, robots, seeds = web
+    eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+    eng.run(seeds=seeds)
+    return eng
+
+
+def _expire_and_resume(spark, eng, k=4):
+    seen_before = eng.seen_set()
+    victims = sorted(u for _r, _k, u in eng.crawl_order())[:k]
+    info = eng.expire(
+        eng.spark.createDataFrame([(u,) for u in victims], "url string")
+    )
+    assert info["n_expired"] == k
+    assert set(victims) <= seen_before
+    # logically forgotten
+    assert not (set(victims) & eng.seen_set())
+    # resumable: the re-enqueued URLs get scheduled again
+    r0 = info["round"]
+    eng.run(resume=True)
+    rescheduled = {
+        u for r, _k, u in eng.crawl_order() if r > r0 and u in set(victims)
+    }
+    assert rescheduled == set(victims)
+    return victims, r0
+
+
+@pytest.mark.spark
+def test_cuckoo_expiry_recrawls(spark, web):
+    cfg = CrawlConfig(batch_size=16, max_rounds=14, n_shards=8,
+                      seen_filter="cuckoo", cuckoo_buckets=1 << 10)
+    tmp = tempfile.mkdtemp(prefix="recrawl_ck_")
+    try:
+        eng = _run_to_done(spark, web, cfg, tmp)
+        n_before = sum(
+            r["n_items"]
+            for r in eng.store.read(eng.last_round()[0], "shards").collect()
+        )
+        victims, r0 = _expire_and_resume(spark, eng)
+        # fingerprints physically deleted at the expiry checkpoint:
+        # n_items dropped by exactly the victim count
+        from rsoup_spark.crawl.bloom import with_shard_cols
+        from rsoup_spark.crawl.cuckoo import SLOTS, cuckoo_contains
+
+        shard_rows = eng.store.read(r0, "shards").collect()
+        # resume re-inserts rediscovered victims in later rounds, so
+        # assert against the round-r0 snapshot written by expire()
+        assert sum(r["n_items"] for r in shard_rows) == n_before - len(victims)
+        tables = {
+            r["shard_id"]: np.frombuffer(r["cuckoo"], np.uint16)
+            .reshape(-1, SLOTS)
+            for r in shard_rows
+        }
+        vic_df = spark.createDataFrame(
+            [(u, u.split("/")[2]) for u in victims], "url string, host string"
+        )
+        for row in with_shard_cols(
+            vic_df, "url", "host", cfg.n_shards
+        ).collect():
+            h = np.array([row["url_hash"]], np.int64)
+            assert not cuckoo_contains(tables[row["shard_id"]], h)[0], row
+        # after the resumed crawl rediscovers them, they are seen again
+        assert set(victims) <= eng.seen_set()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_bloom_expiry_rides_the_backstop(spark, web):
+    cfg = CrawlConfig(batch_size=16, max_rounds=14, n_shards=8,
+                      m_bits=1 << 16)
+    tmp = tempfile.mkdtemp(prefix="recrawl_bl_")
+    try:
+        eng = _run_to_done(spark, web, cfg, tmp)
+        victims, r0 = _expire_and_resume(spark, eng)
+        # the bloom still claims the victims seen; link-rediscovered
+        # victims surface as recovered false positives in the metrics
+        import json
+
+        fp = sum(
+            m["bloom_false_positives"]
+            for m in [
+                json.load(open(eng._path(r, "metrics.json")))
+                for r in range(r0 + 1, eng.last_round()[0] + 1)
+            ]
+        )
+        assert fp > 0
+        assert set(victims) <= eng.seen_set()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_bloom_authoritative_cannot_expire(spark, web):
+    cfg = CrawlConfig(exact_backstop=False)
+    tmp = tempfile.mkdtemp(prefix="recrawl_no_")
+    try:
+        pages, robots, seeds = web
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        with pytest.raises(ValueError, match="bloom cannot delete"):
+            eng.expire(spark.createDataFrame([("x",)], "url string"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_event_log_semantics(spark, web):
+    """add -> expire -> re-add -> expire again: membership follows the
+    latest event; double expiry is idempotent."""
+    cfg = CrawlConfig(batch_size=16, max_rounds=14, n_shards=8,
+                      seen_filter="cuckoo", cuckoo_buckets=1 << 10)
+    tmp = tempfile.mkdtemp(prefix="recrawl_ev_")
+    try:
+        eng = _run_to_done(spark, web, cfg, tmp)
+        victims, _ = _expire_and_resume(spark, eng)  # re-added by resume
+        assert set(victims) <= eng.seen_set()
+        # expire the same urls again (second expiry round > re-add round)
+        eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string"),
+            reenqueue=False,
+        )
+        assert not (set(victims) & eng.seen_set())
+        # idempotent double-expire in the same round
+        eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string"),
+            reenqueue=False,
+        )
+        assert not (set(victims) & eng.seen_set())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
