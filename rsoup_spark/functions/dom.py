@@ -409,6 +409,18 @@ def _unescape(s: str) -> str:
     return _htmlmod.unescape(s) if "&" in s else s
 
 
+# start tags that cannot take the inlined fast path below: table
+# furniture (stack clearing), implied-end-tag triggers, and rawtext /
+# void / foster-sensitive handling all route through the shared helpers
+_SLOW_START = (
+    _TABLE_FURNITURE
+    | frozenset({"table"})
+    | frozenset(_CLOSED_BY)
+    | RAWTEXT_ELEMENTS
+    | VOID_ELEMENTS
+)
+
+
 def _fast_parse(html: str) -> Node:
     root = Node(DOCUMENT)
     stack = [root]
@@ -416,23 +428,66 @@ def _fast_parse(html: str) -> Node:
     pos = 0
     n = len(html)
 
+    # NB the hot loop inlines the no-table-context/no-pending common
+    # case of _insert_text/_insert_element/_handle_end; every inline
+    # branch is semantics-identical to the helper it bypasses (the
+    # fast-vs-stdlib tree-equivalence suite pins this).  Rawtext
+    # elements are consumed inline further down and never pushed, so
+    # stack[-1] is never a rawtext tag here.
     while pos < n:
         m = _TOKEN.search(html, pos)
         if m is None:
             _insert_text(stack, pending, _unescape(html[pos:]))
             break
         if m.start() > pos:
-            _insert_text(stack, pending, _unescape(html[pos : m.start()]))
+            text = _unescape(html[pos : m.start()])
+            cur = stack[-1]
+            if not pending and cur.tag not in _TABLE_CONTEXT:
+                ch = cur.children
+                if ch and ch[-1].kind == TEXT:
+                    ch[-1].text += text
+                else:
+                    node = Node(TEXT, text=text)
+                    node.parent = cur
+                    ch.append(node)
+            else:
+                _insert_text(stack, pending, text)
         pos = m.end()
         end_tag, start_tag, attrs_raw = m.group(1), m.group(2), m.group(3)
 
         if start_tag is not None:
-            tag = start_tag.lower()
+            tag = start_tag if start_tag.islower() else start_tag.lower()
+            if not attrs_raw:
+                # attribute-less start tag (the common token): inline
+                # insert unless table context / implied-close / void /
+                # rawtext handling applies
+                cur = stack[-1]
+                if (
+                    tag not in _SLOW_START
+                    and cur.tag not in _TABLE_CONTEXT
+                ):
+                    node = Node(ELEMENT, tag=tag)
+                    node.parent = cur
+                    cur.children.append(node)
+                    stack.append(node)
+                elif tag in RAWTEXT_ELEMENTS:
+                    node = _insert_element(
+                        stack, pending, tag, {}, push=False
+                    )
+                    pos = _consume_rawtext(node, html, pos, n)
+                else:
+                    _insert_element(
+                        stack, pending, tag, {},
+                        push=tag not in VOID_ELEMENTS,
+                    )
+                continue
             attr_map: dict[str, str] = {}
             last_unquoted_end = -1
-            if attrs_raw and ("=" in attrs_raw or attrs_raw.strip("/ \t\r\n")):
+            if "=" in attrs_raw or attrs_raw.strip("/ \t\r\n"):
                 for am in _ATTR.finditer(attrs_raw):
-                    name = am.group(1).lower()
+                    name = am.group(1)
+                    if not name.islower():
+                        name = name.lower()
                     if name in attr_map:
                         continue
                     val = am.group(2)
@@ -451,27 +506,54 @@ def _fast_parse(html: str) -> Node:
             self_closing = (
                 stripped.endswith("/") and last_unquoted_end != len(stripped)
             )
-            if tag in RAWTEXT_ELEMENTS and not self_closing:
+            cur = stack[-1]
+            if (
+                tag not in _SLOW_START
+                and not self_closing
+                and cur.tag not in _TABLE_CONTEXT
+            ):
+                # same inline as the attr-less path (covers <a href=..>,
+                # <span class=..> etc., the bulk of attr-ful tags)
+                node = Node(ELEMENT, tag=tag, attrs=attr_map)
+                node.parent = cur
+                cur.children.append(node)
+                stack.append(node)
+            elif tag in RAWTEXT_ELEMENTS and not self_closing:
                 node = _insert_element(
                     stack, pending, tag, attr_map, push=False
                 )
-                # consume raw content up to the closing tag
-                em = _RAW_END[tag].search(html, pos)
-                raw_end = em.start() if em else n
-                if raw_end > pos:
-                    node.append(Node(TEXT, text=html[pos:raw_end]))
-                close = html.find(">", raw_end)
-                pos = (close + 1) if close != -1 else n
+                pos = _consume_rawtext(node, html, pos, n)
             else:
                 _insert_element(
                     stack, pending, tag, attr_map,
                     push=tag not in VOID_ELEMENTS and not self_closing,
                 )
         elif end_tag is not None:
-            _handle_end(stack, pending, end_tag.lower())
+            tag = end_tag if end_tag.islower() else end_tag.lower()
+            top = stack[-1]
+            if top.tag == tag and len(stack) > 1:
+                # matched at the top of the stack: nothing above it to
+                # adopt, closing a non-formatting tag still bounds the
+                # formatting scope (same as _handle_end's matched arm)
+                stack.pop()
+                if pending and tag not in _FORMATTING:
+                    pending.clear()
+            else:
+                _handle_end(stack, pending, tag)
         # comments / decls / PIs / CDATA dropped
 
     return root
+
+
+def _consume_rawtext(node: Node, html: str, pos: int, n: int) -> int:
+    """Swallow raw character data up to the matching end tag into the
+    already-inserted element; returns the new parse position."""
+    em = _RAW_END[node.tag].search(html, pos)
+    raw_end = em.start() if em else n
+    if raw_end > pos:
+        node.append(Node(TEXT, text=html[pos:raw_end]))
+    close = html.find(">", raw_end)
+    return (close + 1) if close != -1 else n
 
 
 def parse_document(html: str) -> Node:
