@@ -838,6 +838,56 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprints(docs)
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (frontier-priority scoring): iterative
+    join+aggregate dataflow, integer-exact with damping 1/2 and scaled
+    ranks (ops/graph.py), so the unrolled recursive SQL oracle matches
+    bit-for-bit.  Deterministic synthetic edges: doc i -> i+k for
+    k in {1,3,7} where the target exists (outdeg <= 3, the bound the
+    exact scaling requires)."""
+    from rsoup_spark.ops.graph import pagerank_int
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    offsets = [1, 3, 7]
+    e = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(F.array(*[F.col("id") + k for k in offsets])).alias("dst"),
+    ).join(nodes.select(F.col("id").alias("dst")), "dst")
+    return pagerank_int(nodes, e)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bernoulli stratified sampling (training-data
+    down-sampling): keep iff md5-bucket(doc_id) < per-stratum integer
+    threshold -- reproducible across runs/partitionings/engines."""
+    from rsoup_spark.ops.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per source
+    (both engines implement type-7 linear interpolation; probes are
+    exact binary fractions so the interpolation weights carry no
+    decimal-to-binary error)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -875,6 +925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "pipeline_quality_dedup": q_pipeline_quality_dedup,
+        "graph_pagerank": q_graph_pagerank,
+        "sample_stratified": q_sample_stratified,
+        "rel_quantiles": q_rel_quantiles,
     }
 
 
@@ -1297,6 +1350,54 @@ SELECT query_id, neighbor_id, cos, rank FROM (
   FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
   WHERE q.vec_id % 50 = 0
 ) WHERE rank <= 5
+""",
+        "graph_pagerank": """
+WITH n AS (SELECT doc_id AS id FROM documents),
+e AS (
+  SELECT s.id AS src, s.id + k.k AS dst
+  FROM n s, (VALUES (1), (3), (7)) k(k)
+  WHERE s.id + k.k IN (SELECT id FROM n)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, 1728::BIGINT AS pr FROM n),
+r1 AS (
+  SELECT n.id, (864 + COALESCE(SUM(r0.pr // (2 * deg.outdeg)), 0))::BIGINT AS pr
+  FROM n LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN r0 ON r0.id = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.id
+),
+r2 AS (
+  SELECT n.id, (864 + COALESCE(SUM(r1.pr // (2 * deg.outdeg)), 0))::BIGINT AS pr
+  FROM n LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN r1 ON r1.id = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.id
+),
+r3 AS (
+  SELECT n.id, (864 + COALESCE(SUM(r2.pr // (2 * deg.outdeg)), 0))::BIGINT AS pr
+  FROM n LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN r2 ON r2.id = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.id
+)
+SELECT id, pr AS pr_scaled, round(pr / 1728.0, 6) AS pr FROM r3
+""",
+        "sample_stratified": """
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000)
+      < CASE source WHEN 'src0' THEN 10000
+                    WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500
+                    ELSE 1000 END
+""",
+        "rel_quantiles": """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY source
 """,
     }
     # the stream must be byte-identical to the batch extraction

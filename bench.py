@@ -70,6 +70,9 @@ def main() -> None:
         "winnow_fingerprints",
         "rel_events_json",
         "pipeline_quality_dedup",
+        "graph_pagerank",
+        "sample_stratified",
+        "rel_quantiles",
     ]
 
     timings: dict[str, float] = {}
