@@ -72,6 +72,13 @@ class CrawlConfig:
     bloom_k: int = 5
     cuckoo_buckets: int = 1 << 12  # power of two; 4 slots each
     cuckoo_max_kicks: int = 500
+    # frontier priority: "decay" = parent-score * DECAY (default);
+    # "pagerank" = re-score the whole frontier each round from integer
+    # PageRank over the discovered link graph (ops/graph.py).  Floor
+    # division keeps every rank an exact integer, so the oracle
+    # simulator reproduces the ordering bit-for-bit at any out-degree.
+    score_mode: str = "decay"  # "decay" | "pagerank"
+    pr_iters: int = 3
     host_salt_shards: int = 4  # sub-split hot hosts inside shuffles
     # exact seen anti-join after the bloom prefilter: recovers bloom
     # false positives (urls the bloom wrongly claims seen would
@@ -464,6 +471,36 @@ class CrawlEngine:
             next_frontier = next_frontier.groupBy("url", "host").agg(
                 F.min("depth").alias("depth"),
                 F.max("score").alias("score"),
+            )
+        if cfg.score_mode == "pagerank":
+            # re-score the carried-over frontier from integer PageRank
+            # over the edges discovered so far (appended per round,
+            # read as one log -- O(new) writes like the seen set).
+            # Next round's politeness/batch ordering uses these scores;
+            # the oracle simulator mirrors the arithmetic exactly.
+            from ..ops.graph import pagerank_int
+
+            edges_r = canon.select(
+                F.col("src_url").alias("src"), F.col("url").alias("dst")
+            ).distinct()
+            self._write(edges_r, r, "edges")
+            all_edges = self.store.read_log("edges", r)
+            nodes = (
+                all_edges.select(F.col("src").alias("id"))
+                .unionByName(all_edges.select(F.col("dst").alias("id")))
+                .unionByName(next_frontier.select(F.col("url").alias("id")))
+                .distinct()
+            )
+            pr = pagerank_int(nodes, all_edges, cfg.pr_iters).select(
+                F.col("id").alias("url"), "pr_scaled"
+            )
+            base = float(12 ** cfg.pr_iters // 2)
+            next_frontier = next_frontier.join(pr, "url", "left").select(
+                "url",
+                "host",
+                "depth",
+                F.coalesce(F.col("pr_scaled").cast("double"), F.lit(base))
+                .alias("score"),
             )
         self._write(next_frontier, r, "frontier")
         # append-only seen: only this round's new urls are written

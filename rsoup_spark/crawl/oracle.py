@@ -17,6 +17,26 @@ from urllib.parse import urlsplit
 DECAY = 0.85
 
 
+def _pagerank_int(
+    nodes: set[str], edges: set[tuple[str, str]], iters: int
+) -> dict[str, int]:
+    """Mirror of ops/graph.py:pagerank_int in plain Python: damping
+    1/2, ranks scaled by 12**iters, floor division -- pure integer
+    arithmetic, so engine and simulator agree exactly."""
+    scale = 12 ** iters
+    base = scale // 2
+    outdeg: dict[str, int] = {}
+    for s, _t in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: scale for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, t in edges:
+            nxt[t] += ranks[s] // (2 * outdeg[s])
+        ranks = nxt
+    return ranks
+
+
 def simulate(
     graph: dict[str, list[str]],
     seeds: list[tuple[str, float, int]],
@@ -24,11 +44,16 @@ def simulate(
     batch_size: int = 64,
     round_seconds: float = 10.0,
     max_rounds: int = 50,
+    score_mode: str = "decay",
+    pr_iters: int = 3,
 ) -> tuple[list[tuple[int, int, str]], set[str]]:
     """-> (crawl order [(round, rank, url)], final seen set).
 
     ``graph`` maps canonical url -> canonical out-links (missing key =
-    fetch miss).  ``seeds`` are (url, score, depth).
+    fetch miss).  ``seeds`` are (url, score, depth).  ``score_mode``
+    mirrors CrawlConfig: "pagerank" re-scores the whole frontier at the
+    end of each round from integer PageRank over the edges discovered
+    so far.
     """
     # rows are (host, disallow, delay) or (host, disallow, delay, allow)
     budgets = {
@@ -60,6 +85,7 @@ def simulate(
     frontier = {u: (d, s) for u, s, d in seeds}
     seen = {u for u, _s, _d in seeds}
     order: list[tuple[int, int, str]] = []
+    edges: set[tuple[str, str]] = set()
 
     for r in range(1, max_rounds + 1):
         # 1. robots gate: blocked urls leave the frontier permanently
@@ -107,5 +133,18 @@ def simulate(
         }
         frontier.update(new_urls)
         seen.update(new_urls)
+
+        if score_mode == "pagerank":
+            for u in scheduled:
+                for target in graph.get(u, []):
+                    edges.add((u, target))
+            nodes = {s for s, _t in edges} | {t for _s, t in edges}
+            nodes |= set(frontier)
+            pr = _pagerank_int(nodes, edges, pr_iters)
+            base = 12 ** pr_iters // 2
+            frontier = {
+                u: (d, float(pr.get(u, base)))
+                for u, (d, _s) in frontier.items()
+            }
 
     return order, seen
