@@ -874,6 +874,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (LLM training-data windows):
+    map-only explode, whole-stage codegen, no shuffle."""
+    from rsoup_spark.ops.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per source
     (both engines implement type-7 linear interpolation; probes are
@@ -928,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "sample_stratified": q_sample_stratified,
         "rel_quantiles": q_rel_quantiles,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1398,6 +1408,22 @@ SELECT source,
        round(quantile_cont(n_chars, 0.5), 6) AS p50,
        round(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY source
+""",
+        "chunk_documents": """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 40)) AS start
+  FROM t WHERE n > 0
+)
+SELECT doc_id,
+       (start // 40)::INT AS chunk_id,
+       array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+       least(50, n - start)::INT AS n_tokens
+FROM s
 """,
     }
     # the stream must be byte-identical to the batch extraction

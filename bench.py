@@ -73,6 +73,7 @@ def main() -> None:
         "graph_pagerank",
         "sample_stratified",
         "rel_quantiles",
+        "chunk_documents",
     ]
 
     timings: dict[str, float] = {}

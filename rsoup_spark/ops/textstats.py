@@ -241,3 +241,50 @@ def rolling_fingerprints(
         ]
     )
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows -- the
+    standard LLM training-data step between cleaning and packing.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final
+    window may be shorter (never empty).  Empty/whitespace-only text
+    follows the ``token_count`` convention (split of '' = ['']) and
+    yields one empty chunk, identically in both engines.
+    Pure JVM array functions (split / sequence / posexplode /
+    slice / array_join): the explode is the only row multiplier and the
+    plan stays in whole-stage codegen -- at 100 TB this is a map-only
+    stage whose output is ~(1 + overlap/chunk) x input bytes, no
+    shuffle at all.
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    ).where(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+    return (
+        base.select(
+            "doc_id", "toks", "n",
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("toks", F.col("start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("n") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )

@@ -103,3 +103,44 @@ def test_winnow_fingerprint_counts(spark):
     b = sorted(map(tuple, rolling_fingerprints(
         docs, window=8, keep_every=4).collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_chunk_documents_invariants(spark):
+    """Window algebra: chunk 0 starts the doc, consecutive chunks
+    overlap by exactly `overlap` tokens, and the non-overlap prefixes
+    concatenated reproduce the whitespace-normalized token stream."""
+    from rsoup_spark.ops.textstats import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(137))
+    df = spark.createDataFrame(
+        [(1, text), (2, "solo"), (3, " ".join(f"x{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=50, overlap=10)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    by_doc: dict = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t.split(" "), n))
+    # 137 tokens, step 40 -> starts 0,40,80,120 -> 4 chunks
+    assert [c for c, _t, _n in by_doc[1]] == [0, 1, 2, 3]
+    assert [n for _c, _t, n in by_doc[1]] == [50, 50, 50, 17]
+    toks = text.split(" ")
+    for c, chunk_toks, n in by_doc[1]:
+        assert chunk_toks == toks[c * 40 : c * 40 + 50]
+        assert len(chunk_toks) == n
+    # overlap region shared verbatim between consecutive chunks
+    assert by_doc[1][0][1][-10:] == by_doc[1][1][1][:10]
+    # single-token and exactly-chunk-sized docs: one / two chunks
+    assert [n for _c, _t, n in by_doc[2]] == [1]
+    assert [n for _c, _t, n in by_doc[3]] == [50, 10]
+    # reconstruction: non-overlap prefixes + final chunk == token stream
+    recon = []
+    chunks1 = by_doc[1]
+    for c, chunk_toks, _n in chunks1[:-1]:
+        recon.extend(chunk_toks[:40])
+    recon.extend(chunks1[-1][1])
+    assert recon == toks
