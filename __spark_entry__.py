@@ -883,6 +883,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=50, overlap=10)
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing after chunking: contiguous fill into 512-token
+    training sequences via one window cumsum -- pack_id and offset are
+    pure functions of the deterministic (doc_id, chunk_id) order."""
+    from rsoup_spark.ops.textstats import chunk_documents, pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=50, overlap=10)
+    return pack_chunks(chunks, budget_tokens=512)
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per source
     (both engines implement type-7 linear interpolation; probes are
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "rel_quantiles": q_rel_quantiles,
         "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1424,6 +1436,30 @@ SELECT doc_id,
        array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
        least(50, n - start)::INT AS n_tokens
 FROM s
+""",
+        "pack_chunks": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(range(0, n, 40)) AS start, n
+  FROM t WHERE n > 0
+), c AS (
+  SELECT doc_id, (start // 40)::INT AS chunk_id,
+         least(50, n - start)::BIGINT AS n_tokens
+  FROM s
+), cum AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM c
+)
+SELECT doc_id, chunk_id, n_tokens::INT AS n_tokens,
+       (before // 512)::BIGINT AS pack_id,
+       (before % 512)::INT AS pack_offset
+FROM cum
 """,
     }
     # the stream must be byte-identical to the batch extraction

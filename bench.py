@@ -74,6 +74,7 @@ def main() -> None:
         "sample_stratified",
         "rel_quantiles",
         "chunk_documents",
+        "pack_chunks",
     ]
 
     timings: dict[str, float] = {}

@@ -12,6 +12,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # character n-gram profiles per language: the highest-frequency
 # distinctive trigrams (with word-boundary spaces) drawn from public
@@ -287,4 +288,39 @@ def chunk_documents(
             .cast("int")
             .alias("n_tokens"),
         )
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-budget training sequences (the packing
+    step after ``chunk_documents``): contiguous fill in deterministic
+    (doc_id, chunk_id) order -- a chunk goes to the pack its cumulative
+    starting offset falls in, ``pack_id = (cumsum_before) div budget``.
+
+    This is the scalable packing strategy: one global window cumsum
+    (a sort-based shuffle, the same cost class as any deterministic
+    total order), no driver state, reproducible across engines.  Packs
+    can overrun the budget by at most one chunk's tokens - 1 (the
+    standard contiguous-fill bound); exact bin packing is NP-hard and
+    needs no place in a 10^9-chunk pipeline.  At production scale the
+    global window becomes per-partition packing over ranged splits --
+    same expression, partitionBy(range_bucket).
+    """
+    w = (
+        Window.orderBy(F.col(id_col), F.col(chunk_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.select(
+        id_col,
+        chunk_col,
+        tokens_col,
+        (before / budget_tokens).cast("long").alias("pack_id"),
+        (before % budget_tokens).cast("int").alias("pack_offset"),
     )

@@ -144,3 +144,32 @@ def test_chunk_documents_invariants(spark):
         recon.extend(chunk_toks[:40])
     recon.extend(chunks1[-1][1])
     assert recon == toks
+
+
+@pytest.mark.spark
+def test_pack_chunks_invariants(spark):
+    """Contiguous-fill packing: offsets are cumulative mod budget,
+    pack ids are non-decreasing in (doc_id, chunk_id) order, and every
+    pack's chunks fit within budget + max_chunk - 1 (the fill bound)."""
+    from rsoup_spark.ops.textstats import pack_chunks
+
+    rows = [(d, c, 50 if c < 3 else 17) for d in range(20) for c in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens int")
+    out = pack_chunks(df, budget_tokens=128)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["pack_id"],
+         r["pack_offset"])
+        for r in out.collect()
+    )
+    before = 0
+    prev_pack = 0
+    per_pack: dict = {}
+    for _d, _c, n, pack, off in got:
+        assert pack == before // 128
+        assert off == before % 128
+        assert pack >= prev_pack
+        prev_pack = pack
+        per_pack[pack] = per_pack.get(pack, 0) + n
+        before += n
+    max_chunk = 50
+    assert all(v <= 128 + max_chunk - 1 for v in per_pack.values())
