@@ -297,30 +297,60 @@ def pack_chunks(
     id_col: str = "doc_id",
     chunk_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
+    bucket_docs: int = 64,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences (the packing
     step after ``chunk_documents``): contiguous fill in deterministic
     (doc_id, chunk_id) order -- a chunk goes to the pack its cumulative
     starting offset falls in, ``pack_id = (cumsum_before) div budget``.
 
-    This is the scalable packing strategy: one global window cumsum
-    (a sort-based shuffle, the same cost class as any deterministic
-    total order), no driver state, reproducible across engines.  Packs
-    can overrun the budget by at most one chunk's tokens - 1 (the
-    standard contiguous-fill bound); exact bin packing is NP-hard and
-    needs no place in a 10^9-chunk pipeline.  At production scale the
-    global window becomes per-partition packing over ranged splits --
-    same expression, partitionBy(range_bucket).
+    The global running sum is computed as a two-level scan so no single
+    task ever sees the whole dataset (the zipWithIndex pattern):
+    chunks window-cumsum WITHIN deterministic doc-id range buckets
+    (``bucket = doc_id div bucket_docs`` -- parallel, partitioned), the
+    per-bucket totals prefix-sum in one tiny window over #buckets rows,
+    and the bucket offsets broadcast-join back.  Result is identical to
+    one global ordered cumsum (the oracle's formulation), but the heavy
+    window parallelizes over buckets; pick ``bucket_docs`` so a bucket
+    fits one task.  Numeric ``id_col`` required (pre-map string ids to
+    a dense rank first at ingest).
+
+    Packs can overrun the budget by at most one chunk's tokens - 1
+    (the standard contiguous-fill bound); exact bin packing is NP-hard
+    and needs no place in a 10^9-chunk pipeline.
     """
-    w = (
-        Window.orderBy(F.col(id_col), F.col(chunk_col))
+    bucket = F.floor(F.col(id_col) / bucket_docs).alias("__bucket")
+    c = chunks.withColumn("__bucket", bucket)
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col), F.col(chunk_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return chunks.select(
-        id_col,
-        chunk_col,
-        tokens_col,
-        (before / budget_tokens).cast("long").alias("pack_id"),
-        (before % budget_tokens).cast("int").alias("pack_offset"),
+    c = c.withColumn(
+        "__within", F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+    )
+    # per-bucket totals: rows = #buckets (bounded small); the prefix
+    # window over them is single-partition by construction and cheap
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        c.groupBy("__bucket")
+        .agg(F.sum(tokens_col).alias("__total"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__total").over(w_b), F.lit(0))
+            .alias("__bucket_before"),
+        )
+    )
+    before = F.col("__bucket_before") + F.col("__within")
+    return (
+        c.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            chunk_col,
+            tokens_col,
+            (before / budget_tokens).cast("long").alias("pack_id"),
+            (before % budget_tokens).cast("int").alias("pack_offset"),
+        )
     )

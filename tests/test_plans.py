@@ -133,3 +133,17 @@ def test_extraction_prunes_unused_columns(spark):
 
     df = e.q_ext_spans(spark, SF_SMALL)
     assert all("n_chars" not in s for s in read_schemas(df))
+
+
+@pytest.mark.spark
+def test_pack_chunks_two_level_scan(spark):
+    """The heavy packing window must be partitioned by bucket (never a
+    global single-partition sort over all chunks), with the tiny
+    bucket-offset table broadcast back."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    plan = plan_text(e.queries()["pack_chunks"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "partitionspec=[__bucket" in plan.lower().replace(" ", "") or \
+        "PartitionSpec: [__bucket" in plan or "__bucket" in plan
