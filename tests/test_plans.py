@@ -145,5 +145,8 @@ def test_pack_chunks_two_level_scan(spark):
 
     plan = plan_text(e.queries()["pack_chunks"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
-    assert "partitionspec=[__bucket" in plan.lower().replace(" ", "") or \
-        "PartitionSpec: [__bucket" in plan or "__bucket" in plan
+    # the heavy cumsum window is PARTITIONED by the range bucket (its
+    # windowspec leads with __bucket), never an unpartitioned global
+    # sort over all chunks
+    assert "windowspecdefinition(__bucket" in plan
+    assert "hashpartitioning(__bucket" in plan
