@@ -544,8 +544,18 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # microsecond epoch (events.ts carries microseconds); a whole-second
-    # unix_timestamp gap truncates and diverges from DuckDB's epoch()
-    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    # unix_timestamp gap truncates and diverges from DuckDB's epoch().
+    # events.ts is a timezone-NAIVE parquet timestamp: cast-to-timestamp
+    # interprets the wall clock in the *session* timezone, shifting the
+    # epoch by the tz offset.  from_utc_timestamp(_, current_timezone())
+    # applies the equal-and-opposite shift, so the emitted integers equal
+    # DuckDB's epoch_us(ts) (naive-as-UTC) under ANY session timezone.
+    def _epoch_us(col):
+        return F.unix_micros(
+            F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
+        )
+
+    epoch = _epoch_us(F.col("ts"))
     gaps = ev.select(
         "user_id",
         "event_id",
@@ -566,12 +576,8 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.unix_micros(F.min("ts").cast("timestamp")).alias(
-                "session_start_us"
-            ),
-            F.unix_micros(F.max("ts").cast("timestamp")).alias(
-                "session_end_us"
-            ),
+            _epoch_us(F.min("ts")).alias("session_start_us"),
+            _epoch_us(F.max("ts")).alias("session_end_us"),
         )
     )
 
@@ -1176,8 +1182,11 @@ WITH gaps AS (
   FROM events
 ), sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         -- DuckDB sum(int) is HUGEINT; a pandas-mediated harness renders
+         -- that float64 ("1.000000" vs Spark's "1") -- cast to BIGINT
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM gaps
 )
 SELECT user_id, session_no,
@@ -1488,7 +1497,7 @@ SELECT host,
        count(DISTINCT b) AS n_batches,
        count(*) AS sum_batch_docs,
        count(*) AS final_docs,
-       sum(n_spans) AS final_spans
+       CAST(sum(n_spans) AS BIGINT) AS final_spans
 FROM d GROUP BY host
 """
     return out

@@ -5,7 +5,18 @@ Runs every ``queries()`` entry at a given sf dir and compares against
 order-insensitive value hash (rows sorted, columns sorted by name,
 values stringified).  Usage::
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` reproduces the driver's environment instead of ours:
+
+* a vanilla SparkSession (NOT ``get_spark``) with a non-UTC session
+  timezone, default shuffle partitions, and none of our Arrow tuning --
+  any query whose output depends on session config (the class of bug
+  behind three rounds of ``rel_sessionize`` driver-reds) goes red here
+  before the driver finds it;
+* pandas-mediated value hashing on both sides (``df.toPandas()`` /
+  DuckDB ``.df()``), so dtype round-trip artifacts (DuckDB HUGEINT ->
+  float64, the ``stream_host_state`` red) reproduce locally.
 """
 
 from __future__ import annotations
@@ -38,14 +49,50 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows as the driver sees them: through pandas dtypes.
+
+    ``itertuples`` preserves the dtype-mediated scalar (numpy float64 for
+    a HUGEINT sum, numpy int64 for BIGINT), so ``value_hash``'s float
+    formatting exposes int-became-float artifacts exactly as the driver's
+    pandas-mediated harness does.
+    """
+    return [
+        tuple(v.item() if hasattr(v, "item") else v for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    ]
+
+
+def hostile_spark():
+    """The driver's session, adversarially approximated: non-UTC tz,
+    default shuffle partitions, no Arrow tuning, no get_spark defaults."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return (
+        SparkSession.builder.appName("oracle-check-hostile")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    hostile = "--hostile" in argv
+    if hostile:
+        argv = [a for a in argv if a != "--hostile"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from rsoup_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    spark = hostile_spark() if hostile else get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -62,7 +109,10 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            if hostile:
+                rows = pandas_rows(df.toPandas())
+            else:
+                rows = [tuple(r) for r in df.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
@@ -76,7 +126,10 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if hostile:
+                orows = pandas_rows(res.df())
+            else:
+                orows = res.fetchall()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
