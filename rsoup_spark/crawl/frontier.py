@@ -236,7 +236,7 @@ class CrawlEngine:
 
     # -- TTL / recrawl expiry ------------------------------------------------
     def expire(self, urls: DataFrame, reenqueue: bool = True,
-               score: float = 1.0) -> dict:
+               score: float | None = None) -> dict:
         """Between-rounds maintenance: forget ``urls`` (one ``url``
         column) from the seen set so the crawler revisits them.
 
@@ -261,6 +261,16 @@ class CrawlEngine:
         in the current round's checkpoint before the method returns.
         """
         cfg = self.cfg
+        if score is None:
+            # 'seed priority' must mean it on both score scales: decay
+            # scores are <= 1.0, but pagerank frontier scores are
+            # >= 12**pr_iters // 2 -- a 1.0 default would sort victims
+            # LAST in the next batch instead of first.
+            score = (
+                float(12 ** cfg.pr_iters)
+                if cfg.score_mode == "pagerank"
+                else 1.0
+            )
         if cfg.seen_filter == "bloom" and not cfg.exact_backstop:
             raise ValueError(
                 "bloom cannot delete: expiry needs exact_backstop=True "
@@ -437,6 +447,17 @@ class CrawlEngine:
         # set against seen, so new_urls is exact and the fp count is
         # observable as n_new - n_bloom_new (probably_new ⊆ new_urls).
         cand_new = with_shard_cols(contrib, "url", "host", cfg.n_shards)
+        if self.store.has_log("expired", r - 1):
+            # recrawl path: an expired victim scheduled THIS round is
+            # absent from round r-1's seen set, so a same-round link to
+            # it would re-admit it as "new" and crawl it twice (the
+            # cuckoo backend physically forgot its fingerprint, so the
+            # filter cannot catch it either).  This round's scheduled
+            # set is the missing piece of "seen as of now"; in a plain
+            # crawl scheduled ⊆ seen makes this anti-join a waste.
+            cand_new = cand_new.join(
+                scheduled.select("url"), "url", "left_anti"
+            )
         probably_new, new_shards, bloom_cache = self._filter_update(
             cand_new, shards
         )
@@ -484,7 +505,13 @@ class CrawlEngine:
                 F.col("src_url").alias("src"), F.col("url").alias("dst")
             ).distinct()
             self._write(edges_r, r, "edges")
-            all_edges = self.store.read_log("edges", r)
+            # distinct across rounds, not just within: after expire() a
+            # re-scheduled URL re-harvests its out-links into a later
+            # round's log, and duplicate (src,dst) rows would double
+            # outdeg and contributions (breaking the outdeg<=3
+            # integer-exactness bound).  The oracle accumulates edges
+            # as a set; mirror it.
+            all_edges = self.store.read_log("edges", r).distinct()
             nodes = (
                 all_edges.select(F.col("src").alias("id"))
                 .unionByName(all_edges.select(F.col("dst").alias("id")))
@@ -611,8 +638,18 @@ class CrawlEngine:
             assert seeds is not None, "fresh run needs seeds"
             self.init_state(seeds)
             start = 0
+        # a resume with pending work always gets rounds to run, even
+        # when expire() re-enqueued at the round cap (start ==
+        # max_rounds would otherwise make the range empty and silently
+        # never recrawl the victims): extend the horizon by another
+        # max_rounds window past the cap.  An ordinary mid-run resume
+        # (start < max_rounds) keeps the original cap so a resumed
+        # crawl stays round-for-round equal to an uninterrupted one.
+        end = self.cfg.max_rounds
+        if start >= end:
+            end = start + self.cfg.max_rounds
         history = []
-        for r in range(start + 1, self.cfg.max_rounds + 1):
+        for r in range(start + 1, end + 1):
             m = self.run_round(r)
             history.append(m)
             if m["n_scheduled"] == 0:

@@ -46,6 +46,7 @@ def simulate(
     max_rounds: int = 50,
     score_mode: str = "decay",
     pr_iters: int = 3,
+    expire_events: list[list[str]] | None = None,
 ) -> tuple[list[tuple[int, int, str]], set[str]]:
     """-> (crawl order [(round, rank, url)], final seen set).
 
@@ -54,6 +55,13 @@ def simulate(
     mirrors CrawlConfig: "pagerank" re-scores the whole frontier at the
     end of each round from integer PageRank over the edges discovered
     so far.
+
+    ``expire_events`` mirrors run-to-done -> ``engine.expire(victims)``
+    -> ``engine.run(resume=True)`` cycles: each time the crawl drains,
+    the next victim list is expired (dropped from seen, re-enqueued at
+    depth 0 with the engine's default re-enqueue score) and the crawl
+    continues, with the round horizon extended past ``max_rounds``
+    exactly as the engine's resume does.
     """
     # rows are (host, disallow, delay) or (host, disallow, delay, allow)
     budgets = {
@@ -86,8 +94,15 @@ def simulate(
     seen = {u for u, _s, _d in seeds}
     order: list[tuple[int, int, str]] = []
     edges: set[tuple[str, str]] = set()
+    pending_expiries = list(expire_events or [])
+    reenqueue_score = (
+        float(12 ** pr_iters) if score_mode == "pagerank" else 1.0
+    )
 
-    for r in range(1, max_rounds + 1):
+    end = max_rounds
+    r = 0
+    while r < end:
+        r += 1
         # 1. robots gate: blocked urls leave the frontier permanently
         allowed = {
             u: ds for u, ds in frontier.items() if not is_blocked(u)
@@ -106,9 +121,28 @@ def simulate(
         eligible.sort(key=lambda u: (-allowed[u][1], allowed[u][0], u))
         scheduled = eligible[:batch_size]
         if not scheduled:
-            break
+            if not pending_expiries:
+                break
+            # engine.expire(victims) at the drained round r, then
+            # engine.run(resume=True): seen forgets the victims, they
+            # re-enter the frontier at depth 0 with the default
+            # re-enqueue score (merged best-priority against anything
+            # already queued), and resume gets a fresh round window
+            # when the crawl drained at the cap.
+            victims = pending_expiries.pop(0)
+            seen -= set(victims)
+            for v in victims:
+                d, s = frontier.get(v, (1 << 30, -1.0))
+                frontier[v] = (min(d, 0), max(s, reenqueue_score))
+            if r >= end:
+                end = r + max_rounds
+            continue
         for rank, u in enumerate(scheduled, start=1):
             order.append((r, rank, u))
+        # recrawl path: a re-enqueued victim is scheduled while absent
+        # from seen; crawling re-seens it (no-op for a plain crawl,
+        # where scheduled is always a subset of seen)
+        seen.update(scheduled)
 
         # 4.-5. fetch + harvest (ground-truth out-links)
         discovered: dict[str, tuple[int, float]] = {}

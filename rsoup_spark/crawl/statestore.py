@@ -53,17 +53,27 @@ class ParquetStateStore:
             df = df.coalesce(self.coalesce)
         df.write.mode(mode).parquet(self.path(round_no, name))
 
+    def _readable_path(self, round_no: int, name: str) -> str:
+        p = self.path(round_no, name)
+        if not os.path.exists(p) and os.path.exists(p + ".old"):
+            # crash recovery: `rewrite` died between its two renames
+            # (old data moved aside, staging not yet promoted) --
+            # restore the pre-rewrite table so the round stays readable
+            os.rename(p + ".old", p)
+        return p
+
     def read(self, round_no: int, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(round_no, name))
+        return self.spark.read.parquet(self._readable_path(round_no, name))
 
     def exists(self, round_no: int, name: str) -> bool:
-        return os.path.exists(self.path(round_no, name))
+        p = self.path(round_no, name)
+        return os.path.exists(p) or os.path.exists(p + ".old")
 
     def read_log(self, name: str, up_to_round: int) -> DataFrame:
         """Union of an append-only table's per-round appends (one
         multi-path scan; the Iceberg analogue reads one table)."""
         paths = [
-            self.path(i, name)
+            self._readable_path(i, name)
             for i in range(up_to_round + 1)
             if self.exists(i, name)
         ]
@@ -97,13 +107,23 @@ class ParquetStateStore:
         overwritePartitions snapshot."""
         import shutil
 
-        target = self.path(round_no, name)
+        # recover a crashed previous rewrite first -- otherwise the
+        # rmtree below would delete the `.old` dir that is the only
+        # surviving copy of the table
+        target = self._readable_path(round_no, name)
         staging = target + ".staging"
         if self.coalesce:
             df = df.coalesce(self.coalesce)
         df.write.mode("overwrite").parquet(staging)
         old = target + ".old"
         shutil.rmtree(old, ignore_errors=True)
+        # os.replace is NOT atomic for directories on POSIX (rename(2)
+        # fails with ENOTEMPTY on a non-empty target), so a two-rename
+        # swap is unavoidable -- but ordered so every crash window
+        # leaves a readable table: move the OLD data aside only after
+        # the staging dir is fully written, then immediately promote.
+        # A crash between the renames leaves `.old` intact; `read`
+        # falls back to it, so the round is never unreadable.
         os.rename(target, old)
         os.rename(staging, target)
         shutil.rmtree(old, ignore_errors=True)

@@ -311,13 +311,18 @@ def ivf_topk(
     )
 
 
+MAX_LSH_TABLES = 32
+
+
 def _lsh_tables(tau: float, n_planes: int, target_recall: float) -> int:
     """Hash-table count for per-pair recall >= target_recall at cos=tau.
 
     Per-plane collision p1 = 1 - acos(tau)/pi; per-table p1^n_planes;
-    T tables miss with (1 - p1^b)^T.  Capped at 32 -- beyond that the
-    threshold is too low for hyperplane LSH to filter anything and the
-    caller should use the exact blocked GEMM instead."""
+    T tables miss with (1 - p1^b)^T.  Returns the UNCAPPED requirement;
+    callers compare against MAX_LSH_TABLES -- beyond that the threshold
+    is too low for hyperplane LSH to filter anything and the exact
+    blocked GEMM is the honest choice (embedding_dup_pairs falls back
+    automatically)."""
     import math
 
     p1 = 1.0 - math.acos(max(min(tau, 1.0), -1.0)) / math.pi
@@ -325,7 +330,7 @@ def _lsh_tables(tau: float, n_planes: int, target_recall: float) -> int:
     if pt >= 1.0:
         return 1
     t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pt))
-    return max(1, min(t, 32))
+    return max(1, t)
 
 
 def embedding_dup_pairs(
@@ -371,9 +376,19 @@ def embedding_dup_pairs(
     (B ~ sqrt(n*d*8 / task_mem)).
     method="join": pure-JVM equi-join scoring (no Python stage).
     """
+    if method == "lsh" and n_tables is None:
+        need = _lsh_tables(tau, n_planes, target_recall)
+        if need > MAX_LSH_TABLES:
+            # tau too low for hyperplane buckets to discriminate at the
+            # requested recall -- the docstring's "honest choice" made
+            # automatic instead of silently keeping a capped (and
+            # recall-lossy) table count
+            method = "gemm"
+        else:
+            n_tables = need
     if method == "lsh":
-        T = n_tables if n_tables is not None else _lsh_tables(
-            tau, n_planes, target_recall
+        T = n_tables if n_tables is not None else min(
+            _lsh_tables(tau, n_planes, target_recall), MAX_LSH_TABLES
         )
         sig = _sig_udf(n_planes, dim, T)
         v = vectors.select(

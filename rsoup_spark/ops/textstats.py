@@ -291,6 +291,11 @@ def chunk_documents(
     )
 
 
+# offsets-table bound for pack_chunks: 1e5 rows keep the broadcast at
+# ~1.6 MB and the single-partition prefix window sub-millisecond
+MAX_PACK_BUCKETS = 100_000
+
+
 def pack_chunks(
     chunks: DataFrame,
     budget_tokens: int = 512,
@@ -298,6 +303,7 @@ def pack_chunks(
     chunk_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
     bucket_docs: int = 64,
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences (the packing
     step after ``chunk_documents``): contiguous fill in deterministic
@@ -318,7 +324,19 @@ def pack_chunks(
     Packs can overrun the budget by at most one chunk's tokens - 1
     (the standard contiguous-fill bound); exact bin packing is NP-hard
     and needs no place in a 10^9-chunk pipeline.
+
+    Sizing contract: #buckets = max_doc_id / bucket_docs must stay
+    small enough for the offsets table to broadcast and for its
+    single-partition prefix window to be trivial (<= MAX_PACK_BUCKETS
+    ~ 1e5 rows ~ 1.6 MB).  Pass ``n_docs_hint`` (corpus doc count /
+    max dense id) and ``bucket_docs`` is raised automatically to honor
+    it -- at 10^9 docs the default 64 would otherwise put 1.6e7 rows
+    through the driver broadcast.
     """
+    if n_docs_hint is not None:
+        bucket_docs = max(
+            bucket_docs, -(-int(n_docs_hint) // MAX_PACK_BUCKETS)
+        )
     bucket = F.floor(F.col(id_col) / bucket_docs).alias("__bucket")
     c = chunks.withColumn("__bucket", bucket)
     w_in = (
@@ -343,14 +361,21 @@ def pack_chunks(
             .alias("__bucket_before"),
         )
     )
-    before = F.col("__bucket_before") + F.col("__within")
+    # integer DIV, not float division: (x / b).cast("long") rounds
+    # through double and is only exact below ~2**53 cumulative tokens,
+    # at odds with the module's integer-exact contract (and the
+    # oracle's `//`)
+    before = (F.col("__bucket_before") + F.col("__within")).cast("long")
     return (
         c.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__before", before)
         .select(
             id_col,
             chunk_col,
             tokens_col,
-            (before / budget_tokens).cast("long").alias("pack_id"),
-            (before % budget_tokens).cast("int").alias("pack_offset"),
+            F.expr(f"__before DIV {int(budget_tokens)}").alias("pack_id"),
+            (F.col("__before") % budget_tokens).cast("int").alias(
+                "pack_offset"
+            ),
         )
     )

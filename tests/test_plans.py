@@ -150,3 +150,30 @@ def test_pack_chunks_two_level_scan(spark):
     # sort over all chunks
     assert "windowspecdefinition(__bucket" in plan
     assert "hashpartitioning(__bucket" in plan
+
+
+@pytest.mark.spark
+def test_emb_dup_low_tau_falls_back_to_gemm(spark):
+    """When the auto-sizer needs more than MAX_LSH_TABLES hash tables
+    (tau too low for hyperplane buckets to discriminate at the target
+    recall), method='lsh' must fall back to the exact blocked GEMM
+    instead of silently running a recall-lossy capped table count."""
+    import __spark_entry__ as e
+    from rsoup_spark.ops.similarity import (
+        MAX_LSH_TABLES,
+        _lsh_tables,
+        embedding_dup_pairs,
+    )
+    from rsoup_spark.plans.review import plan_text
+
+    assert _lsh_tables(0.3, 8, 0.999) > MAX_LSH_TABLES
+    emb = e.load_table(spark, SF_SMALL, "embeddings")
+    plan = plan_text(embedding_dup_pairs(emb, tau=0.3, method="lsh"))
+    assert "FlatMapCoGroupsInPandas" in plan  # the GEMM cogroup stage
+    assert "CartesianProduct" not in plan
+    # an explicit n_tables still means what it says (no fallback)
+    plan2 = plan_text(
+        embedding_dup_pairs(emb, tau=0.3, method="lsh", n_tables=4)
+    )
+    assert "FlatMapCoGroupsInPandas" not in plan2
+    assert "ArrowEvalPython" in plan2

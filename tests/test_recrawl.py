@@ -95,25 +95,61 @@ def test_cuckoo_expiry_recrawls(spark, web):
 
 @pytest.mark.spark
 def test_bloom_expiry_rides_the_backstop(spark, web):
+    """Expire a parent page plus three of its same-host out-links with a
+    1-fetch/round politeness budget: the recrawled parent rediscovers
+    still-unseen victims in LATER rounds, so the bloom's stale 'seen'
+    claims surface as recovered false positives -- while no victim is
+    ever scheduled twice (a victim rediscovered in its own scheduling
+    round is deduped against the round's scheduled set)."""
+    import json
+    from collections import Counter
+    from urllib.parse import urlsplit
+
     cfg = CrawlConfig(batch_size=16, max_rounds=14, n_shards=8,
-                      m_bits=1 << 16)
+                      m_bits=1 << 16, round_seconds=1.0)
     tmp = tempfile.mkdtemp(prefix="recrawl_bl_")
     try:
         eng = _run_to_done(spark, web, cfg, tmp)
-        victims, r0 = _expire_and_resume(spark, eng)
-        # the bloom still claims the victims seen; link-rediscovered
-        # victims surface as recovered false positives in the metrics
-        import json
-
-        fp = sum(
-            m["bloom_false_positives"]
-            for m in [
-                json.load(open(eng._path(r, "metrics.json")))
-                for r in range(r0 + 1, eng.last_round()[0] + 1)
+        seen_before = eng.seen_set()
+        pages = web[0]
+        parent, kids = None, None
+        for row in pages.select("url", "out_links").collect():
+            u = row["url"]
+            if u not in seen_before:
+                continue
+            host = urlsplit(u).netloc
+            outs = [
+                o for o in row["out_links"]
+                if o in seen_before and o != u
+                and urlsplit(o).netloc == host
             ]
+            if len(outs) >= 3:
+                parent, kids = u, sorted(outs)[:3]
+                break
+        assert parent is not None, "fixture lost its linked cluster"
+        victims = [parent] + kids
+        info = eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string")
+        )
+        r0 = info["round"]
+        eng.run(resume=True)
+        # the bloom still claims the victims seen; cross-round
+        # link-rediscovered victims surface as recovered false
+        # positives in the metrics
+        fp = sum(
+            json.load(open(eng._path(r, "metrics.json")))[
+                "bloom_false_positives"
+            ]
+            for r in range(r0 + 1, eng.last_round()[0] + 1)
         )
         assert fp > 0
         assert set(victims) <= eng.seen_set()
+        resched = [
+            u for r, _k, u in eng.crawl_order()
+            if r > r0 and u in set(victims)
+        ]
+        assert set(resched) == set(victims)
+        assert max(Counter(resched).values()) == 1, "victim crawled twice"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -173,3 +173,55 @@ def test_pack_chunks_invariants(spark):
         before += n
     max_chunk = 50
     assert all(v <= 128 + max_chunk - 1 for v in per_pack.values())
+
+
+@pytest.mark.spark
+def test_pack_chunks_exact_past_float53(spark):
+    """pack_id is computed with integer DIV: cumulative token offsets
+    beyond 2**53 (where float division rounds) still yield the exact
+    oracle `before // budget`."""
+    from rsoup_spark.ops.textstats import pack_chunks
+
+    big = (1 << 52) + 1  # cumsum crosses 2**53 at the 3rd chunk
+    rows = [(d, 0, big) for d in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_tokens long"
+    )
+    budget = 3  # small enough that float(before)/budget visibly rounds
+    out = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_offset"])
+        for r in pack_chunks(df, budget_tokens=budget).collect()
+    )
+    before = 0
+    for d, pack, off in out:
+        assert pack == before // budget, (d, pack, before // budget)
+        assert off == before % budget
+        before += big
+        # the float formulation is provably wrong somewhere in here
+    assert any(
+        int(float(i * big) / budget) != (i * big) // budget
+        for i in range(8)
+    ), "test inputs no longer exercise the float-rounding regime"
+
+
+@pytest.mark.spark
+def test_pack_chunks_bucket_autoscale(spark):
+    """n_docs_hint raises bucket_docs so #buckets stays broadcastable;
+    the packing itself is invariant to the bucket size."""
+    from rsoup_spark.ops.textstats import MAX_PACK_BUCKETS, pack_chunks
+
+    rows = [(d, c, 40 + 7 * c) for d in range(50) for c in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_tokens int"
+    )
+    base = sorted(
+        tuple(r) for r in pack_chunks(df, budget_tokens=100).collect()
+    )
+    hinted = sorted(
+        tuple(r)
+        for r in pack_chunks(
+            df, budget_tokens=100, bucket_docs=1,
+            n_docs_hint=MAX_PACK_BUCKETS * 10,
+        ).collect()
+    )
+    assert base == hinted
