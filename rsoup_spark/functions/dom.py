@@ -12,11 +12,14 @@ on top of :class:`html.parser.HTMLParser`.  It is intentionally simple:
   also produces one text node per run);
 * html5 error recovery covers the cases crawled pages actually hit:
   implied end tags (p/li/dt/dd/td/tr/option/...), foster parenting of
-  text/elements illegal inside table contexts, and the simple-case
-  adoption agency for misnested formatting elements; mismatched end
-  tags otherwise pop up to the nearest matching open tag.  Remaining
-  documented divergences (tests/test_dom_malformed.py): no implicit
-  <tbody> synthesis, no cross-block adoption agency.
+  text/elements illegal inside table contexts, implicit
+  <tbody>/<tr>/<colgroup> synthesis (`<table><tr>` selects as
+  `table > tbody > tr`), and the adoption agency for misnested
+  formatting elements -- both the simple same-scope case and the
+  cross-block case (the spec's `<b>1<p>2</b>3</p>` worked example),
+  with formatting end tags scoped at cell/table/caption boundaries;
+  mismatched non-formatting end tags pop up to the nearest matching
+  open tag.
 
 Parse semantics only matter relative to our own synthesized fixtures,
 per SURVEY.md §7 risk 2.
@@ -189,8 +192,28 @@ def _insert_element(
                 del stack[i + 1:]
                 break
     _implied_close(stack, tag)
-    node = Node(ELEMENT, tag=tag, attrs=attrs)
+    # html5 implicit table-section synthesis ("in table" mode): a row
+    # or cell directly under <table> gets its <tbody> (and a cell its
+    # <tr>); a <col> gets its <colgroup> -- so `<table><tr>` selects
+    # as `table > tbody > tr` exactly like html5ever
     cur = stack[-1]
+    if cur.tag == "table":
+        wrapper = (
+            "tbody" if tag in ("tr", "td", "th")
+            else "colgroup" if tag == "col"
+            else None
+        )
+        if wrapper is not None:
+            wnode = Node(ELEMENT, tag=wrapper)
+            cur.append(wnode)
+            stack.append(wnode)
+            cur = wnode
+    if cur.tag in ("tbody", "thead", "tfoot") and tag in ("td", "th"):
+        trnode = Node(ELEMENT, tag="tr")
+        cur.append(trnode)
+        stack.append(trnode)
+        cur = trnode
+    node = Node(ELEMENT, tag=tag, attrs=attrs)
     fostered = False
     if cur.tag in _TABLE_CONTEXT and tag not in _ALLOWED_IN_TABLE:
         # html5 keeps hidden inputs in place; everything else is fostered
@@ -203,34 +226,107 @@ def _insert_element(
     return node
 
 
+# html5 "has an element in scope" boundaries: a formatting end tag
+# whose element sits beyond one of these is ignored rather than popped
+# through (e.g. </b> inside a table cell never closes a <b> outside it)
+_SCOPE_BOUNDARY = frozenset(
+    {"applet", "caption", "html", "table", "td", "th", "marquee",
+     "object", "template"}
+)
+
+
+def _detach(node: "Node") -> None:
+    if node.parent is not None:
+        node.parent.children.remove(node)
+        node.parent = None
+
+
+def _adoption_step(stack: list["Node"], fmt_idx: int) -> None:
+    """One outer iteration of the html5 adoption agency for the
+    cross-block case: ``stack[fmt_idx]`` is the formatting element and
+    at least one special (non-formatting) element is open above it.
+    Mirrors the spec steps: the furthest block moves to the common
+    ancestor (through clones of any intermediate formatting elements),
+    its children are wrapped in a clone of the formatting element, and
+    the clone takes the formatting element's place in the stack just
+    below the furthest block -- the caller's next iteration then pops
+    it if it ended up current (spec's second outer pass)."""
+    fmt = stack[fmt_idx]
+    fb_idx = fmt_idx + 1
+    while stack[fb_idx].tag in _FORMATTING:
+        fb_idx += 1
+    fb = stack[fb_idx]
+    common = stack[fmt_idx - 1]
+    # inner loop: clone each intermediate formatting element, chaining
+    # the furthest block up through the clones
+    last = fb
+    for j in range(fb_idx - 1, fmt_idx, -1):
+        mid = stack[j]
+        clone = Node(ELEMENT, tag=mid.tag, attrs=dict(mid.attrs))
+        stack[j] = clone
+        _detach(last)
+        clone.append(last)
+        last = clone
+    _detach(last)
+    if not (common.tag in _TABLE_CONTEXT and _foster_insert(stack, last)):
+        common.append(last)
+    # wrap the furthest block's children in a clone of fmt
+    fclone = Node(ELEMENT, tag=fmt.tag, attrs=dict(fmt.attrs))
+    for ch in fb.children:
+        ch.parent = fclone
+    fclone.children = fb.children
+    fb.children = []
+    fb.append(fclone)
+    del stack[fmt_idx]
+    stack.insert(fb_idx, fclone)  # fb shifted to fb_idx - 1
+
+
+def _run_adoption(stack: list["Node"], pending: list, tag: str) -> None:
+    """Formatting end tag: html5 adoption agency (outer loop)."""
+    for _ in range(8):
+        fmt_idx = None
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                fmt_idx = i
+                break
+            if stack[i].tag in _SCOPE_BOUNDARY:
+                break
+        if fmt_idx is None:
+            # not open in scope: may cancel a pending clone (html5:
+            # element in the active list but not the open stack is
+            # simply removed); otherwise ignored
+            for j in range(len(pending) - 1, -1, -1):
+                if pending[j][0] == tag:
+                    del pending[j]
+                    return
+            return
+        above = stack[fmt_idx + 1:]
+        if not above:
+            del stack[fmt_idx:]
+            return
+        if all(a.tag in _FORMATTING for a in above):
+            # adoption agency (simple case): </b> with <i> still
+            # open implicitly closes the <i>; schedule clones to
+            # reopen at the next text insertion so <b><i></b>text
+            # yields <b><i></i></b><i>text</i> like html5ever,
+            # while <b><i></b></i> leaves no empty clone behind
+            del stack[fmt_idx:]
+            pending.extend((a.tag, dict(a.attrs)) for a in above)
+            return
+        _adoption_step(stack, fmt_idx)
+
+
 def _handle_end(stack: list["Node"], pending: list, tag: str) -> None:
+    if tag in _FORMATTING:
+        _run_adoption(stack, pending, tag)
+        return
     for i in range(len(stack) - 1, 0, -1):
         if stack[i].tag == tag:
-            above = stack[i + 1:]
             del stack[i:]
-            if (
-                tag in _FORMATTING
-                and above
-                and all(a.tag in _FORMATTING for a in above)
-            ):
-                # adoption agency (simple case): </b> with <i> still
-                # open implicitly closes the <i>; schedule clones to
-                # reopen at the next text insertion so <b><i></b>text
-                # yields <b><i></i></b><i>text</i> like html5ever,
-                # while <b><i></b></i> leaves no empty clone behind
-                pending.extend((a.tag, dict(a.attrs)) for a in above)
-            elif tag not in _FORMATTING:
-                # closing a block is a formatting-scope boundary
-                pending.clear()
+            # closing a block is a formatting-scope boundary
+            pending.clear()
             return
-    # unmatched end tag: a formatting end tag may cancel a pending
-    # clone (html5: element in the active list but not the open stack
-    # is simply removed); anything else is ignored (error recovery)
-    if tag in _FORMATTING:
-        for j in range(len(pending) - 1, -1, -1):
-            if pending[j][0] == tag:
-                del pending[j]
-                return
+    # unmatched non-formatting end tag: ignored (error recovery)
 
 
 class Node:

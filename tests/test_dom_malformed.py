@@ -8,11 +8,12 @@ Every case asserts (a) the recovered shape and (b) fast-parser ==
 stdlib-parser equivalence, which is the repo's parser contract.
 Covered html5ever behaviors: implied end tags, foster parenting of
 text/elements illegal inside table contexts, and the simple-case
-adoption agency (misnested formatting elements).  Documented
-divergences: no implicit <tbody> insertion (the table scanner walks
-for <tr> directly, so extraction is insensitive to the missing
-wrapper), and the full adoption agency across block boundaries
-(<b><div></b> keeps the current pop-through recovery).
+adoption agency (misnested formatting elements), implicit
+<tbody>/<tr>/<colgroup> synthesis (`<table><tr>` selects as
+`table > tbody > tr`), and the cross-block adoption agency (the
+spec's own worked example `<b>1<p>2</b>3</p>` and its
+intermediate-formatting variant), with formatting end tags scoped at
+cell/table/caption boundaries per html5 "has an element in scope".
 """
 
 import pytest
@@ -73,14 +74,20 @@ CASES = {
                 [],
                 [
                     (
-                        "tr",
+                        "tbody",
                         [],
                         [
-                            ("td", [], [("#t", "a")]),
-                            ("td", [], [("#t", "b")]),
+                            (
+                                "tr",
+                                [],
+                                [
+                                    ("td", [], [("#t", "a")]),
+                                    ("td", [], [("#t", "b")]),
+                                ],
+                            ),
+                            ("tr", [], [("td", [], [("#t", "c")])]),
                         ],
-                    ),
-                    ("tr", [], [("td", [], [("#t", "c")])]),
+                    )
                 ],
             )
         ],
@@ -130,14 +137,22 @@ CASES = {
         "<table><tr>stray<td>x</td></tr></table>",
         [
             ("#t", "stray"),
-            ("table", [], [("tr", [], [("td", [], [("#t", "x")])])]),
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "x")])])])],
+            ),
         ],
     ),
     "foster_text_in_table_and_tail": (
         "<table>junk<tr><td>a</td></table>after",
         [
             ("#t", "junk"),
-            ("table", [], [("tr", [], [("td", [], [("#t", "a")])])]),
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "a")])])])],
+            ),
             ("#t", "after"),
         ],
     ),
@@ -145,14 +160,22 @@ CASES = {
         "<table><b>bold<tr><td>x</td></table>",
         [
             ("b", [], [("#t", "bold")]),
-            ("table", [], [("tr", [], [("td", [], [("#t", "x")])])]),
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "x")])])])],
+            ),
         ],
     ),
     "foster_block_in_table": (
         "<table><div>block</div><tr><td>a</td></table>",
         [
             ("div", [], [("#t", "block")]),
-            ("table", [], [("tr", [], [("td", [], [("#t", "a")])])]),
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "a")])])])],
+            ),
         ],
     ),
     "hidden_input_not_fostered": (
@@ -163,7 +186,7 @@ CASES = {
                 [],
                 [
                     ("input", [("type", "hidden")], []),
-                    ("tr", [], [("td", [], [("#t", "x")])]),
+                    ("tbody", [], [("tr", [], [("td", [], [("#t", "x")])])]),
                 ],
             )
         ],
@@ -176,8 +199,14 @@ CASES = {
                 [],
                 [
                     ("#t", " "),
-                    ("tr", [], [("td", [], [("#t", "a")])]),
-                    ("#t", " "),
+                    (
+                        "tbody",
+                        [],
+                        [
+                            ("tr", [], [("td", [], [("#t", "a")])]),
+                            ("#t", " "),
+                        ],
+                    ),
                 ],
             )
         ],
@@ -199,6 +228,94 @@ CASES = {
         [
             ("b", [], [("i", [], [])]),
             ("div", [], [("i", [], [("#t", "y")])]),
+        ],
+    ),
+    # -- implicit table sections (html5 "in table" synthesis) ---------
+    "implicit_tbody_bare_row": (
+        "<table><tr><td>x</td></tr></table>",
+        [
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "x")])])])],
+            )
+        ],
+    ),
+    "implicit_tbody_bare_cell": (
+        "<table><td>x</table>",
+        [
+            (
+                "table",
+                [],
+                [("tbody", [], [("tr", [], [("td", [], [("#t", "x")])])])],
+            )
+        ],
+    ),
+    "implicit_colgroup": (
+        "<table><col><tr><td>a</table>",
+        [
+            (
+                "table",
+                [],
+                [
+                    ("colgroup", [], [("col", [], [])]),
+                    ("tbody", [], [("tr", [], [("td", [], [("#t", "a")])])]),
+                ],
+            )
+        ],
+    ),
+    "thead_keeps_own_rows": (
+        "<table><thead><tr><th>h</table>",
+        [
+            (
+                "table",
+                [],
+                [("thead", [], [("tr", [], [("th", [], [("#t", "h")])])])],
+            )
+        ],
+    ),
+    # -- adoption agency (cross-block: the spec's worked example) -----
+    "adoption_cross_block": (
+        "<b>1<p>2</b>3</p>",
+        [
+            ("b", [], [("#t", "1")]),
+            ("p", [], [("b", [], [("#t", "2")]), ("#t", "3")]),
+        ],
+    ),
+    "adoption_cross_block_intermediate": (
+        "<b>W<i>X<p>Y</b>Z</p>",
+        [
+            ("b", [], [("#t", "W"), ("i", [], [("#t", "X")])]),
+            (
+                "i",
+                [],
+                [("p", [], [("b", [], [("#t", "Y")]), ("#t", "Z")])],
+            ),
+        ],
+    ),
+    # -- formatting end tags respect scope boundaries -----------------
+    "formatting_scoped_to_cell": (
+        "<b>out<table><tr><td></b>in</td></tr></table>tail",
+        [
+            (
+                "b",
+                [],
+                [
+                    ("#t", "out"),
+                    (
+                        "table",
+                        [],
+                        [
+                            (
+                                "tbody",
+                                [],
+                                [("tr", [], [("td", [], [("#t", "in")])])],
+                            )
+                        ],
+                    ),
+                    ("#t", "tail"),
+                ],
+            )
         ],
     ),
 }
