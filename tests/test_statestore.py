@@ -44,6 +44,43 @@ def test_iceberg_store_gated(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_iceberg_store_against_real_catalog(spark, tmp_path):
+    """End-to-end against an actual iceberg-spark-runtime catalog.
+
+    SKIPPED when the jar is absent: this sandbox has no
+    iceberg-spark-runtime jar anywhere on disk and no network to fetch
+    one (verified: `find / -name 'iceberg-spark-runtime*'` is empty),
+    so the store's write/read/manifest logic is instead executed
+    through the stub catalog below.  On a real cluster, add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v>`
+    and this test exercises the genuine CREATE NAMESPACE /
+    writeTo().append() / overwritePartitions path.
+    """
+    if not iceberg_available(spark):
+        pytest.skip(
+            "no iceberg-spark-runtime jar in this environment (offline "
+            "sandbox; real-catalog path unexercisable here -- the stub-"
+            "catalog test below drives the same store logic)"
+        )
+    import uuid
+
+    wh = str(tmp_path / "warehouse")
+    spark.conf.set(
+        "spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", wh)
+    ns = f"crawl_{uuid.uuid4().hex[:8]}"
+    store = IcebergStateStore(spark, catalog="it", namespace=ns)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "url string, n int")
+    store.write(df, 0, "frontier")
+    got = sorted(tuple(r) for r in store.read(0, "frontier").collect())
+    assert got == [("a", 1), ("b", 2)]
+    store.write_manifest(0, done=False)
+    assert store.read_manifest()["round"] == 0
+
+
+@pytest.mark.spark
 def test_iceberg_store_logic_via_stub_catalog(spark, tmp_path, monkeypatch):
     """Execute the Iceberg store's real write/read/read_log/exists/
     manifest logic with only the V2 I/O boundary stubbed (an in-memory
