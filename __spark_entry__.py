@@ -914,6 +914,31 @@ def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dataflow end to end: a deterministic media table
+    (image + audio binary blobs derived from doc ids) through the
+    Arrow-batched mapInPandas fingerprint pass -- ``fp`` is the first
+    uint32 of sha256(data), the integer-exact surface of the stubbed
+    feature extractor (``fake_feature(data)[0] == fp/2**31 - 1``), so
+    the whole binary-column pipeline is oracled without floats."""
+    from rsoup_spark.ops.multimodal import media_fingerprint, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media(spark, docs)
+    return media_fingerprint(media)
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for timed media: which timestamps to decode
+    per clip (the decode itself is the env-gated stub).  Pure
+    relational sequence+explode -- no Python stage."""
+    from rsoup_spark.ops.multimodal import frame_sample_plan, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media(spark, docs)
+    return frame_sample_plan(media, every_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -956,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantiles": q_rel_quantiles,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
+        "multimodal_fingerprint": q_multimodal_fingerprint,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -1469,6 +1496,35 @@ SELECT doc_id, chunk_id, n_tokens::INT AS n_tokens,
        (before // 512)::BIGINT AS pack_id,
        (before % 512)::INT AS pack_offset
 FROM cum
+""",
+        # the synthesized media table (synth_media) replayed in SQL;
+        # fp = first 4 bytes of sha256(payload) as little-endian uint32
+        # (matches media_fingerprint's int.from_bytes(..., 'little'))
+        "multimodal_fingerprint": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) || '/img0' AS media_id,
+         'image' AS kind,
+         'PNGFAKE:' || CAST(doc_id AS VARCHAR) AS payload
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || '/aud0', 'audio',
+         'WAVFAKE:' || CAST(doc_id AS VARCHAR)
+  FROM documents
+), h AS (
+  SELECT media_id, kind, length(payload)::INT AS n_bytes,
+         sha256(payload) AS hex
+  FROM m
+)
+SELECT media_id, kind, n_bytes,
+       CAST(('0x' || substr(hex, 7, 2) || substr(hex, 5, 2) ||
+             substr(hex, 3, 2) || substr(hex, 1, 2))::UBIGINT
+            AS BIGINT) AS fp
+FROM h
+""",
+        "multimodal_frame_plan": """
+SELECT CAST(doc_id AS VARCHAR) || '/aud0' AS media_id,
+       unnest(generate_series(0, 2000, 500))::INT AS sample_at_ms
+FROM documents
 """,
     }
     # the stream must be byte-identical to the batch extraction

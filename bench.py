@@ -75,6 +75,8 @@ def main() -> None:
         "rel_quantiles",
         "chunk_documents",
         "pack_chunks",
+        "multimodal_fingerprint",
+        "multimodal_frame_plan",
     ]
 
     timings: dict[str, float] = {}

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -124,6 +125,46 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     return media.select("media_id", "kind", "data").mapInPandas(
         run, FEATURE_SCHEMA
+    )
+
+
+FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("fp", LongType(), False),
+    ]
+)
+
+
+def media_fingerprint(media: DataFrame) -> DataFrame:
+    """media -> (media_id, kind, n_bytes, fp): ``fp`` is the first four
+    bytes of sha256(data) as a little-endian uint32 -- the integer-exact
+    surface of :func:`fake_feature` (``fake_feature(data)[0] ==
+    float32(fp / 2**31 - 1)``), so the whole media dataflow is
+    oracle-checkable without float comparisons.  Same Arrow-batched
+    mapInPandas shape as :func:`extract_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas = [bytes(b) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b) for b in datas],
+                    "fp": [
+                        int.from_bytes(
+                            hashlib.sha256(b).digest()[:4], "little"
+                        )
+                        for b in datas
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, FINGERPRINT_SCHEMA
     )
 
 

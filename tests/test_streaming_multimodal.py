@@ -69,3 +69,29 @@ def test_multimodal_features_and_frame_plan(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_media_fingerprint_is_feature_integer_surface(spark):
+    """fp is the integer-exact surface of fake_feature: feature[0]
+    equals float32(fp / 2**31 - 1) for every media row, so the oracled
+    fingerprint query certifies the same bytes the feature UDF sees."""
+    import numpy as np
+
+    from rsoup_spark.ops.multimodal import (
+        extract_features,
+        media_fingerprint,
+        synth_media,
+    )
+    from rsoup_spark.sources.docs import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = synth_media(spark, docs)
+    fps = {r["media_id"]: r["fp"] for r in media_fingerprint(media).collect()}
+    feats = {
+        r["media_id"]: r["feature"][0]
+        for r in extract_features(media, dim=8).collect()
+    }
+    assert set(fps) == set(feats) and fps
+    for mid, fp in fps.items():
+        assert 0 <= fp < 2 ** 32
+        assert feats[mid] == np.float32(fp / 2 ** 31 - 1.0), mid
