@@ -180,3 +180,39 @@ def test_engine_manifest_carries_snapshot(spark, tmp_path):
     assert set(snap["tables"]) == {"order", "seen", "frontier", "shards"}
     assert snap["lineage"].endswith("lineage")
     assert engine.store.exists(m["round"], "lineage")
+
+
+@pytest.mark.spark
+def test_parquet_rewrite_crash_recovery(spark, tmp_path):
+    """A rewrite that dies between its two renames (old data moved
+    aside, staging not yet promoted) leaves the round readable: reads
+    restore the .old directory, rewrite re-runs safely, and read_log
+    sees the recovered table too."""
+    import os
+
+    store = ParquetStateStore(spark, str(tmp_path / "ckpt"), coalesce=1)
+    df0 = spark.createDataFrame([("a",), ("b",)], "url STRING")
+    store.write(df0, 0, "frontier")
+    target = store.path(0, "frontier")
+
+    # simulate the crash window: target moved to .old, no staging
+    os.rename(target, target + ".old")
+    assert not os.path.exists(target)
+    assert store.exists(0, "frontier")  # .old counts as present
+    got = sorted(r["url"] for r in store.read(0, "frontier").collect())
+    assert got == ["a", "b"]            # recovered
+    assert os.path.exists(target) and not os.path.exists(target + ".old")
+
+    # crash again, then rewrite over the crashed state: must not lose
+    # the only surviving copy
+    os.rename(target, target + ".old")
+    df1 = spark.createDataFrame([("c",)], "url STRING")
+    store.rewrite(df1, 0, "frontier")
+    got = [r["url"] for r in store.read(0, "frontier").collect()]
+    assert got == ["c"]
+    assert not os.path.exists(target + ".old")
+
+    # read_log path also recovers
+    store.write(df0, 1, "frontier")
+    os.rename(store.path(1, "frontier"), store.path(1, "frontier") + ".old")
+    assert store.read_log("frontier", 1).count() == 3
