@@ -939,6 +939,55 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (duplicated word-5-gram fraction, a
+    Gopher-style quality signal) in parts-per-million integers --
+    map-only JVM array expressions, integer DIV, no shuffle."""
+    from rsoup_spark.ops.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=5)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the held-out eval subset (doc_id % 31 == 0).  Bucketed
+    posting-list equi-join on the gram -- never all-pairs."""
+    from rsoup_spark.ops.textstats import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 31 == 0)
+    tr = docs.where(F.col("doc_id") % 31 != 0)
+    return decontaminate(tr, ev, n=8)
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with deterministically injected
+    emails/phones: per-pattern hit counts + md5 of the masked text
+    (pure JVM regexp chain; patterns are RE2-compatible so the oracle
+    replays them verbatim)."""
+    from rsoup_spark.ops.textstats import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -983,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -1525,6 +1577,83 @@ FROM h
 SELECT CAST(doc_id AS VARCHAR) || '/aud0' AS media_id,
        unnest(generate_series(0, 2000, 500))::INT AS sample_at_ms
 FROM documents
+""",
+        # duplicated word-5-gram fraction in ppm; toks[i:i+4] is
+        # DuckDB's INCLUSIVE slice = 5 tokens, range is exclusive so
+        # i runs 1..len-4 -- the same n-4+1 grams Spark's
+        # transform(sequence(1, size-4), slice(.., i, 5)) builds
+        "text_repetition": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN [array_to_string(toks[i:i+4], ' ')
+                    for i in range(1, len(toks) - 3)]
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams)))::BIGINT
+                 * 1000000 // len(grams)
+            ELSE 0 END::BIGINT AS rep_ppm
+FROM g
+""",
+        "decontaminate": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN [array_to_string(toks[i:i+7], ' ')
+                    for i in range(1, len(toks) - 6)]
+              ELSE [] END AS grams
+  FROM t
+), e AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 31 = 0)
+), tr AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+        WHERE doc_id % 31 <> 0)
+)
+SELECT tr.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM tr JOIN e USING (gram)
+GROUP BY tr.doc_id
+""",
+        # same RE2-safe patterns as rsoup_spark.ops.textstats
+        # PII_PATTERNS; DuckDB regexp_replace needs the 'g' flag to
+        # match Spark's replace-all semantics
+        "scrub_pii": """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or 555-0' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+         ))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '\\b555-0\\d{3}\\b'))::BIGINT
+           AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+           '\\b555-0\\d{3}\\b', '[PHONE]', 'g') AS clean_text
+  FROM d
+)
+SELECT doc_id, n_email, n_phone,
+       length(clean_text)::BIGINT AS clean_len,
+       md5(clean_text) AS clean_md5
+FROM s
 """,
     }
     # the stream must be byte-identical to the batch extraction

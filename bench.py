@@ -77,6 +77,9 @@ def main() -> None:
         "pack_chunks",
         "multimodal_fingerprint",
         "multimodal_frame_plan",
+        "text_repetition",
+        "decontaminate",
+        "scrub_pii",
     ]
 
     timings: dict[str, float] = {}

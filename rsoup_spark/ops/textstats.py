@@ -379,3 +379,122 @@ def pack_chunks(
             ),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of duplicated word n-grams per document, as integers.
+
+    ``rep_ppm = (n_grams - n_distinct) * 10^6 DIV n_grams`` -- integer
+    division so the oracle matches exactly at any value (a rounded
+    float ratio has half-up ties where representable doubles like
+    1/128 differ across engines).
+
+    Scale: map-only JVM array expressions (split -> transform/slice ->
+    array_distinct), no shuffle, rides whole-stage codegen; per-row
+    cost is O(len); at 100 TB this pipelines with the parquet scan.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    d = docs.withColumn("__grams", grams)
+    n_g = F.size("__grams").cast("bigint")
+    n_d = F.size(F.array_distinct("__grams")).cast("bigint")
+    return d.select(
+        id_col,
+        n_g.alias("n_grams"),
+        n_d.alias("n_distinct"),
+        F.when(
+            n_g > 0,
+            F.expr(
+                "(size(__grams) - size(array_distinct(__grams))) "
+                "* 1000000L DIV size(__grams)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rep_ppm"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the evaluation set; returns (doc_id,
+    n_shared_grams) for contaminated docs only.
+
+    Scale: both sides explode to distinct (doc, gram) / (gram) rows and
+    meet in one equi-join on the gram -- the same bucketed posting-list
+    shape as the Jaccard dedup, never an all-pairs comparison.  The
+    eval side is deduped to one row per gram, so join fan-out is
+    bounded by the true overlap.
+    """
+
+    def doc_grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        return df.select(
+            F.col(id_col), F.explode(grams).alias("gram")
+        ).dropDuplicates([id_col, "gram"])
+
+    eval_grams = doc_grams(eval_docs).select("gram").distinct()
+    return (
+        doc_grams(train)
+        .join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+# pii patterns deliberately RE2-compatible (no backrefs/lookaround) so
+# SQL oracles in other engines can replay them verbatim
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("phone", r"\b555-0\d{3}\b", "[PHONE]"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple = PII_PATTERNS,
+) -> DataFrame:
+    """Mask PII spans (emails, phone numbers) and report per-pattern
+    hit counts: (doc_id, n_<name>..., clean_text).  Pure JVM
+    regexp_count/regexp_replace chain -- map-only, codegen, pushes the
+    projection into the scan.
+    """
+    cols = [F.col(id_col)]
+    clean = F.col(text_col)
+    for name, pat, repl in patterns:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    cols.append(clean.alias("clean_text"))
+    return docs.select(*cols)

@@ -225,3 +225,70 @@ def test_pack_chunks_bucket_autoscale(spark):
         ).collect()
     )
     assert base == hinted
+
+
+@pytest.mark.spark
+def test_repetition_stats_exact(spark):
+    """Hand-computed duplicated-5-gram fractions, integer ppm."""
+    from rsoup_spark.ops.textstats import repetition_stats
+
+    rows = [
+        (1, "a b c d e a b c d e"),   # 6 grams, 5 distinct -> 166666
+        (2, "x x x x x x x x"),       # 4 grams, 1 distinct -> 750000
+        (3, "one two three"),          # < 5 tokens -> 0 grams
+        (4, "p q r s t"),              # exactly 1 gram, distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_ppm"])
+        for r in repetition_stats(df, n=5).collect()
+    }
+    assert got[1] == (6, 5, 1_000_000 // 6)
+    assert got[2] == (4, 1, 750_000)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 1, 0)
+
+
+@pytest.mark.spark
+def test_decontaminate_planted(spark):
+    """A train doc sharing an 8-gram with the eval set is flagged with
+    the exact distinct shared-gram count; others are not."""
+    from rsoup_spark.ops.textstats import decontaminate
+
+    shared = "q w e r t y u i"  # 8 tokens -> exactly one 8-gram
+    ev = spark.createDataFrame(
+        [(0, f"{shared} extra words here")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix"),   # contains the gram
+            (2, "totally different words with no overlap at all ok"),
+            (3, shared),                        # the gram exactly
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontaminate(tr, ev, n=8).collect()
+    }
+    assert got[1] == 1 and got[3] == 1 and 2 not in got
+
+
+@pytest.mark.spark
+def test_scrub_pii_masks_and_counts(spark):
+    from rsoup_spark.ops.textstats import scrub_pii
+
+    rows = [
+        (1, "mail me at bob.smith+x@test-host.org or call 555-0123 now"),
+        (2, "no pii here"),
+        (3, "two mails a@b.io c@d.org and 555-0999 555-0001"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["clean_text"])
+        for r in scrub_pii(df).collect()
+    }
+    assert got[1] == (1, 1, "mail me at [EMAIL] or call [PHONE] now")
+    assert got[2] == (0, 0, "no pii here")
+    assert got[3][0] == 2 and got[3][1] == 2
+    assert "[EMAIL]" in got[3][2] and "555-0" not in got[3][2]
