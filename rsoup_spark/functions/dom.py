@@ -150,31 +150,38 @@ def _reopen_pending(stack: list["Node"], pending: list) -> None:
         stack.append(node)
 
 
-def _insert_text(stack: list["Node"], pending: list, text: str) -> None:
+def _insert_text(
+    stack: list["Node"], pending: list, text: str
+) -> Optional["Node"]:
+    """Insert character data; returns the text node extended/created
+    (callers tracking character-batch continuity need it)."""
     if not text:
-        return
+        return None
     parent = stack[-1]
     if parent.tag in RAWTEXT_ELEMENTS:
         # raw character data: no entity/foster/formatting processing
         if parent.children and parent.children[-1].is_text:
             parent.children[-1].text += text
-        else:
-            parent.append(Node(TEXT, text=text))
-        return
+            return parent.children[-1]
+        node = Node(TEXT, text=text)
+        parent.append(node)
+        return node
     if pending:
         _reopen_pending(stack, pending)
     parent = stack[-1]
-    if (
-        parent.tag in _TABLE_CONTEXT
-        and not text.isspace()
-        and _foster_insert(stack, Node(TEXT, text=text))
-    ):
-        return
+    if parent.tag in _TABLE_CONTEXT and not text.isspace():
+        node = Node(TEXT, text=text)
+        if _foster_insert(stack, node):
+            tbl = _find_table(stack)
+            idx = tbl.parent.children.index(tbl)
+            return tbl.parent.children[idx - 1]
     last = parent.children[-1] if parent.children else None
     if last is not None and last.kind == TEXT:
         last.text += text
-    else:
-        parent.append(Node(TEXT, text=text))
+        return last
+    node = Node(TEXT, text=text)
+    parent.append(node)
+    return node
 
 
 def _insert_element(
@@ -323,8 +330,12 @@ def _handle_end(stack: list["Node"], pending: list, tag: str) -> None:
     for i in range(len(stack) - 1, 0, -1):
         if stack[i].tag == tag:
             del stack[i:]
-            # closing a block is a formatting-scope boundary
-            pending.clear()
+            # closing a block is a formatting-scope boundary -- but
+            # rawtext elements (script/style) are not: html5 keeps the
+            # active formatting list across them, and the fast parser
+            # consumes their end tags inline without reaching here
+            if tag not in RAWTEXT_ELEMENTS:
+                pending.clear()
             return
     # unmatched non-formatting end tag: ignored (error recovery)
 
@@ -464,15 +475,19 @@ class _TreeBuilder(HTMLParser):
         super().close()
         self._flush_text()
 
-    # comments / doctype / PIs are dropped, as the reference ignores them
+    # comments / doctype / PIs are dropped, as the reference ignores
+    # them -- but they still FLUSH the text buffer: text runs on either
+    # side of a dropped token are separate character batches (html5
+    # "in table text" fosters a non-space batch while keeping a
+    # whitespace batch in the table, so merging them changes the tree)
     def handle_comment(self, data: str) -> None:
-        pass
+        self._flush_text()
 
     def handle_decl(self, decl: str) -> None:
-        pass
+        self._flush_text()
 
     def handle_pi(self, data: str) -> None:
-        pass
+        self._flush_text()
 
 
 import html as _htmlmod
@@ -487,11 +502,33 @@ _TOKEN = _re.compile(
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    # html.parser's parse_endtag fallback: '</name junk>' is one end
+    # tag consumed through the '>' (tolerant name charset, no leading
+    # whitespace -- tagfind_tolerant at i+2)
+    r"|</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"
+    # '</' + non-letter is the html5 bogus-comment state: consumed
+    # up to '>' and dropped (html.parser does the same)
+    r"|</[^a-zA-Z>][^>]*>"
+    r"|</>"
+    # start-tag name charset matches html.parser's tagfind_tolerant /
+    # the html5 tag-name state: anything but whitespace, '/', '>' --
+    # including a stray '<' ('<x<i>' is one tag named 'x<i', not a
+    # 0-attr tag 'x' swallowing '<i').  A quoted run may hide a '>'
+    # only when VALUE-positioned (after '='): a bare quote in attr
+    # junk is an ordinary char and the tag ends at the next '>',
+    # exactly like html.parser's locatestarttagend_tolerant
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>",
     _re.S,
 )
+
+# aligned with html.parser's attrfind_tolerant (the stdlib builder's
+# attribute scanner), so garbage attrs split identically in both
+# parsers: names need a preceding delimiter and exclude '=', '=+' is
+# tolerated, and an unquoted value may not START with a quote char
 _ATTR = _re.compile(
-    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    r"(?<=[\s/\"'])([^\s/>][^\s/=>]*)"
+    r"(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|(?!['\"])([^\s>]*)))?"
 )
 _AMP = _re.compile(r"&")
 _RAW_END = {
@@ -530,26 +567,57 @@ def _fast_parse(html: str) -> Node:
     # fast-vs-stdlib tree-equivalence suite pins this).  Rawtext
     # elements are consumed inline further down and never pushed, so
     # stack[-1] is never a rawtext tag here.
+    # character-batch semantics: '</>' emits NO token (html5 end-tag-
+    # open parse error), so text on either side of it is ONE character
+    # run.  Outside tables that only means merge-into-the-same-node
+    # (prev_text).  In table context the whole run's foster-vs-stay
+    # disposition depends on the COMPLETE batch (html5 "in table
+    # text"), so segments buffer in tbuf and flush before the next
+    # real token -- exactly when the stdlib builder's _text buffer
+    # flushes.
+    prev_text: Optional[Node] = None
+    tbuf: list[str] = []
     while pos < n:
         m = _TOKEN.search(html, pos)
         if m is None:
-            _insert_text(stack, pending, _unescape(html[pos:]))
+            tail = _unescape(html[pos:])
+            if tbuf or stack[-1].tag in _TABLE_CONTEXT:
+                tbuf.append(tail)
+            elif prev_text is not None:
+                prev_text.text += tail
+            else:
+                _insert_text(stack, pending, tail)
             break
         if m.start() > pos:
             text = _unescape(html[pos : m.start()])
-            cur = stack[-1]
-            if not pending and cur.tag not in _TABLE_CONTEXT:
-                ch = cur.children
-                if ch and ch[-1].kind == TEXT:
-                    ch[-1].text += text
-                else:
-                    node = Node(TEXT, text=text)
-                    node.parent = cur
-                    ch.append(node)
+            if tbuf or stack[-1].tag in _TABLE_CONTEXT:
+                tbuf.append(text)
+            elif prev_text is not None:
+                prev_text.text += text
             else:
-                _insert_text(stack, pending, text)
+                cur = stack[-1]
+                if not pending:
+                    ch = cur.children
+                    if ch and ch[-1].kind == TEXT:
+                        ch[-1].text += text
+                        prev_text = ch[-1]
+                    else:
+                        node = Node(TEXT, text=text)
+                        node.parent = cur
+                        ch.append(node)
+                        prev_text = node
+                else:
+                    prev_text = _insert_text(stack, pending, text)
         pos = m.end()
-        end_tag, start_tag, attrs_raw = m.group(1), m.group(2), m.group(3)
+        g = m.groups()
+        end_tag = g[0] if g[0] is not None else g[1]
+        start_tag, attrs_raw = g[2], g[3]
+        if start_tag is None and end_tag is None and m.group(0) == "</>":
+            continue  # no token emitted: the character run continues
+        prev_text = None
+        if tbuf:
+            _insert_text(stack, pending, "".join(tbuf))
+            tbuf.clear()
 
         if start_tag is not None:
             tag = start_tag if start_tag.islower() else start_tag.lower()
@@ -632,12 +700,18 @@ def _fast_parse(html: str) -> Node:
                 # adopt, closing a non-formatting tag still bounds the
                 # formatting scope (same as _handle_end's matched arm)
                 stack.pop()
-                if pending and tag not in _FORMATTING:
+                if (
+                    pending
+                    and tag not in _FORMATTING
+                    and tag not in RAWTEXT_ELEMENTS
+                ):
                     pending.clear()
             else:
                 _handle_end(stack, pending, tag)
         # comments / decls / PIs / CDATA dropped
 
+    if tbuf:  # EOF flush of a buffered table-context character run
+        _insert_text(stack, pending, "".join(tbuf))
     return root
 
 
