@@ -939,6 +939,49 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup: documents unioned with an
+    id-shifted copy (so half the rows are duplicates) drain through
+    readStream -> dropDuplicates on the content fingerprint -> append
+    parquet sink (availableNow, exactly-once checkpoint).  The emitted
+    fingerprint set must equal the batch DISTINCT -- the streaming
+    dedup state is what gets certified; only the key is emitted
+    because WHICH duplicate row survives depends on micro-batch order.
+    At scale this is the always-on inter-batch half of exact dedup
+    (state store keyed by fingerprint); the batch `dedup_exact` op is
+    the backfill half."""
+    import os
+
+    from rsoup_spark.ops.textstats import doc_fingerprint
+
+    base = _scratch("stream_dedup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    docs = load_table(spark, sf_dir, "documents", split=False).select(
+        "doc_id", "text"
+    )
+    docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("fingerprint").distinct()
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (duplicated word-5-gram fraction, a
     Gopher-style quality signal) in parts-per-million integers --
@@ -1035,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1576,6 +1620,13 @@ FROM h
         "multimodal_frame_plan": """
 SELECT CAST(doc_id AS VARCHAR) || '/aud0' AS media_id,
        unnest(generate_series(0, 2000, 500))::INT AS sample_at_ms
+FROM documents
+""",
+        # the shifted copy adds no new fingerprints, so streaming
+        # dropDuplicates must emit exactly the batch DISTINCT set
+        "stream_dedup": """
+SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+       AS fingerprint
 FROM documents
 """,
         # duplicated word-5-gram fraction in ppm; toks[i:i+4] is

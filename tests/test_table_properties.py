@@ -76,3 +76,39 @@ def test_span_then_pad_idempotent_shape(t):
     # a spanned+padded table is regular; dict round-trip is lossless
     assert len({len(r.cells) for r in padded.rows}) <= 1
     assert Table.from_dict(padded.to_dict()).to_dict() == padded.to_dict()
+
+
+def test_extractor_never_crashes_on_tag_soup():
+    """TableExtractor over random malformed soup: any outcome is fine
+    except an unhandled exception (overlap-dropped tables, empty
+    results, weird cells are all legal)."""
+    import random
+
+    from rsoup_spark.functions.table import TableExtractor
+
+    V = ["<table>", "<tr>", "<td>", "<th>", "<tbody>", "<thead>",
+         "<colgroup>", "<col>", "<caption>", "<tfoot>",
+         "<td colspan=2>", "<td rowspan=3>", "<td colspan=99999999999>",
+         "<td colspan=0>", "<td rowspan='-1'>", "<table><td>nested",
+         "</table>", "</tr>", "</td>", "</th>", "</tbody>", "</>",
+         "<b>", "</b>", "<i>", "</i>", "<a href='/x'>", "</a>",
+         "<img src=/i.png>", "<br/>", "x", " ", "émoji 🎉", "&amp;",
+         "<", ">", '"', "</ td>", "</y=z>", "<p>", "</p>", "<div>",
+         "</div>"]
+    ex = TableExtractor()
+    rng = random.Random(0xBEEF)
+    n_tables = 0
+    for case in range(300):
+        soup = "".join(
+            rng.choice(V) for _ in range(rng.randint(5, 60))
+        )
+        html = f"<html><body><h1>t</h1>{soup}</body></html>"
+        tables = ex.extract("https://fuzz.test/page", html)
+        n_tables += len(tables)
+        for t in tables:
+            rows, cols = t.shape()
+            assert rows >= 0 and cols >= 0
+            grid = t.to_list()
+            assert len(grid) == rows
+            assert all(len(r) == cols for r in grid)
+    assert n_tables > 0  # the soup does produce some extractable tables

@@ -292,3 +292,36 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[2] == (0, 0, "no pii here")
     assert got[3][0] == 2 and got[3][1] == 2
     assert "[EMAIL]" in got[3][2] and "555-0" not in got[3][2]
+
+
+@pytest.mark.spark
+def test_repetition_stats_invariants_random(spark):
+    """Hypothesis-style invariants over random word-soup docs: grams
+    count matches the window algebra, 0 <= rep_ppm < 1e6, rep_ppm == 0
+    iff all grams distinct, and the Spark values equal a local Python
+    recomputation."""
+    import random
+
+    from rsoup_spark.ops.textstats import repetition_stats
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_ppm"])
+        for r in repetition_stats(df, n=5).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.split()
+        grams = [
+            " ".join(toks[i:i + 5]) for i in range(len(toks) - 4)
+        ] if len(toks) >= 5 else []
+        n_g, n_d = len(grams), len(set(grams))
+        ppm = (n_g - n_d) * 1_000_000 // n_g if n_g else 0
+        assert got[doc_id] == (n_g, n_d, ppm), doc_id
+        assert 0 <= got[doc_id][2] < 1_000_000
