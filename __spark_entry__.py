@@ -939,6 +939,76 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_ext_text_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-page rendered text via the legacy get_text v1 algorithm
+    (reference text/mod.rs:2) -- closes the one remaining API-surface
+    non-port.  v1 and v2 are pinned byte-equal on the Wikipedia
+    fixture by pytest; the oracle replays the known synthesized page
+    structure in SQL."""
+    from rsoup_spark.operators.extract import extract_text_v1
+
+    pages = synth_html_docs(spark, sf_dir)
+    out = extract_text_v1(pages, id_col="url", html_col="html")
+    return out.select(
+        F.split(F.col("doc_id"), "/").getItem(4).cast("bigint")
+        .alias("doc_id"),
+        "text",
+    )
+
+
+def q_ext_fix_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_tree (O25): inline elements illegally containing block
+    elements split into a normalized sequence (reference
+    rsoup/python/context_extractor.py:55-102).  Each doc synthesizes
+    the misnested fragment <span>{text}<div>{lang}</div>{source}</span>
+    which must normalize to [span(text), div(lang), span(source)]."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "<span>%s<div>%s</div>%s</span>",
+            F.col("text"), F.col("lang"), F.col("source"),
+        ).alias("frag"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("seq", IntegerType(), False),
+            StructField("tag", StringType(), False),
+            StructField("piece_text", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        from rsoup_spark.functions.context import fix_tree
+        from rsoup_spark.functions.dom import parse_fragment
+        from rsoup_spark.functions.text import get_text
+
+        for pdf in batches:
+            ids, seqs, tags, texts = [], [], [], []
+            for doc_id, frag in zip(pdf["doc_id"], pdf["frag"]):
+                root = parse_fragment(frag).children[0]
+                for i, piece in enumerate(fix_tree(root)):
+                    ids.append(int(doc_id))
+                    seqs.append(i)
+                    tags.append(piece.tag)
+                    texts.append(get_text(piece))
+            yield pd.DataFrame(
+                {"doc_id": ids, "seq": seqs, "tag": tags,
+                 "piece_text": texts}
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful exact-dedup: documents unioned with an
     id-shifted copy (so half the rows are duplicates) drain through
@@ -1079,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "stream_dedup": q_stream_dedup,
+        "ext_text_v1": q_ext_text_v1,
+        "ext_fix_tree": q_ext_fix_tree,
     }
 
 
@@ -1620,6 +1692,29 @@ FROM h
         "multimodal_frame_plan": """
 SELECT CAST(doc_id AS VARCHAR) || '/aud0' AS media_id,
        unnest(generate_series(0, 2000, 500))::INT AS sample_at_ms
+FROM documents
+""",
+        # the misnested fragment normalizes to exactly three pieces:
+        # span(collapsed text), div(lang), span(source)
+        "ext_fix_tree": """
+SELECT doc_id, 0 AS seq, 'span' AS tag,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS piece_text
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'div', lang FROM documents
+UNION ALL
+SELECT doc_id, 2, 'span', source FROM documents
+""",
+        # v1 whole-page rendering of the synthesized page template
+        # (sources/docs.py): h1 line, collapsed body line, the 2x2
+        # meta table on one line (tr/td are not block elements), tags
+        # line (img contributes no text)
+        "ext_text_v1": """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) ||
+       'lang source ' || lang || ' ' || source || chr(10) ||
+       'Tags: ' || lang AS text
 FROM documents
 """,
         # the shifted copy adds no new fingerprints, so streaming

@@ -80,6 +80,8 @@ def main() -> None:
         "text_repetition",
         "decontaminate",
         "scrub_pii",
+        "ext_text_v1",
+        "ext_fix_tree",
     ]
 
     timings: dict[str, float] = {}

@@ -279,3 +279,57 @@ class ContextExtractor:
             and len(rich.nodes) == 1
             and rich.get_tag() == PSEUDO_TAG
         )
+
+
+def _clone_shallow(node: Node) -> Node:
+    return Node(node.kind, tag=node.tag, attrs=dict(node.attrs),
+                text=node.text)
+
+
+def _is_block(node: Node) -> bool:
+    return node.is_element and node.tag in BLOCK_ELEMENTS
+
+
+def fix_tree(node: Node) -> list[Node]:
+    """Split inline elements that illegally contain block elements
+    (O25; reference ``rsoup/python/context_extractor.py:55-102``).
+
+    ``<span>a<div>b</div>c</span>`` becomes the sequence
+    ``[<span>a</span>, <div>b</div>, <span>c</span>]`` -- the legacy
+    Python extractor's normalization.  The canonical Rust path (and
+    our ``flatten_tree`` above) instead handles block-inside-inline
+    during flattening, so this utility exists for API parity and for
+    pipelines that want a normalized DOM up front.  Returns the
+    replacement sequence for ``node``; like the reference, a leading
+    block child leaves the first (empty) inline clone in place.
+    """
+    if not node.children:
+        return [_clone_shallow(node)]
+
+    if _is_block(node) or node.kind != "element":
+        newself = _clone_shallow(node)
+        for c in node.children:
+            for piece in fix_tree(c):
+                newself.append(piece)
+        return [newself]
+
+    # inline element: hoist block descendants out, splitting the
+    # inline wrapper around them
+    trees: list[Node] = [_clone_shallow(node)]
+    for c in node.children:
+        subtrees = fix_tree(c)
+        if _is_block(c):
+            trees.extend(subtrees)
+        else:
+            for subtree in subtrees:
+                if _is_block(subtree):
+                    trees.extend(fix_tree(subtree))
+                elif _is_block(trees[-1]):
+                    # reopen the inline wrapper after a hoisted block
+                    reopened = Node("element", tag=node.tag,
+                                    attrs=dict(node.attrs))
+                    reopened.append(subtree)
+                    trees.append(reopened)
+                else:
+                    trees[-1].append(subtree)
+    return trees

@@ -187,6 +187,49 @@ def get_text(el: Node) -> str:
     return "".join(parts)
 
 
+_V1_WS = __import__("re").compile(r"\s+")
+
+
+def get_text_v1(el: Node) -> str:
+    """Plain rendered text, legacy v1 algorithm (get_text_v1.rs:24-85).
+
+    Same block-element line structure as :func:`get_text` (v2), but
+    each line is collapsed wholesale: raw text tokens joined, then
+    ``\s+`` -> one space with leading/trailing trim (process_line,
+    get_text_v1.rs:92-107) -- instead of v2's incremental Line token
+    machinery.  The two agree on well-formed content; v1 is kept for
+    parity with the reference API surface (text/mod.rs:2).
+    """
+    stream: list = list(reversed(el.children))
+    lines: list[str] = []
+    current: list[str] = []
+
+    def flush() -> None:
+        if current:
+            line = _V1_WS.sub(" ", "".join(current)).strip()
+            if line:
+                lines.append(line)
+            current.clear()
+
+    while stream:
+        node = stream.pop()
+        kind = node.kind
+        if kind == TEXT:
+            current.append(node.text)
+        elif kind == ELEMENT:
+            if node.tag in BLOCK_ELEMENTS:
+                flush()
+                stream.append(_BREAK)
+            if node.children:
+                stream.extend(reversed(node.children))
+        elif kind == "__break__":
+            flush()
+        # comments / doctype ignored
+
+    flush()
+    return "\n".join(lines)
+
+
 class RichTextElement:
     """A tag span over the flat text (rich_text.rs:30-39)."""
 

@@ -313,3 +313,37 @@ def cell_text_matrix(tables: DataFrame) -> Column:
     return F.transform(
         "rows", lambda r: F.transform(r["cells"], lambda c: c["value"]["text"])
     )
+
+
+def extract_text_v1(
+    docs: DataFrame, id_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """docs(id, html, ...) -> (doc_id, text): whole-page rendered text
+    via the legacy v1 algorithm (reference text/mod.rs:2,
+    get_text_v1.rs:24-85).  Same Arrow-batch shape as extract_spans."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions.dom import parse_document
+    from ..functions.text import get_text_v1
+
+    id_c, html_c = id_col, html_col
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("text", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_c].astype(str),
+                    "text": [
+                        get_text_v1(parse_document(h))
+                        for h in pdf[html_c]
+                    ],
+                }
+            )
+
+    return docs.select(id_c, html_c).mapInPandas(run, schema)

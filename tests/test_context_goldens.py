@@ -104,3 +104,31 @@ def test_increasing_chain_filter():
     # content_after attaches to the last level and stops at the next
     # same-content-level element (h2)
     assert [render(x) for x in ctx[-1].content_after] == ["<>after text</>"]
+
+
+def test_fix_tree_reference_semantics():
+    """O25 (reference rsoup/python/context_extractor.py:55-102):
+    inline elements containing block elements split around them,
+    keeping the reference's exact sequence -- including the empty
+    leading inline clone when the block comes first."""
+    from rsoup_spark.functions.context import fix_tree
+    from rsoup_spark.functions.dom import parse_fragment
+
+    def shapes(html):
+        root = parse_fragment(html).children[0]
+        return [(n.tag, n.outer_text()) for n in fix_tree(root)]
+
+    assert shapes("<span>a<div>b</div>c</span>") == [
+        ("span", "a"), ("div", "b"), ("span", "c")
+    ]
+    # block-first: the empty inline clone stays, as in the reference
+    assert shapes("<b><div>x</div>y</b>") == [
+        ("b", ""), ("div", "x"), ("b", "y")
+    ]
+    # nested inline splitting recurses
+    assert shapes("<i>p<span>q<p>r</p>s</span>t</i>") == [
+        ("i", "pq"), ("p", "r"), ("i", "st")
+    ]
+    # already-legal trees come back as a single clone
+    assert shapes("<div>a<span>b</span></div>") == [("div", "ab")]
+    assert shapes("<span>a<b>c</b></span>") == [("span", "ac")]

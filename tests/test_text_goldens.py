@@ -104,3 +104,38 @@ def test_nbsp_is_whitespace():
     node = parse_fragment("<td>← <a href='/w'>2012</a></td>")
     rt = get_rich_text(node, frozenset(), True, frozenset(), HEADER_ELEMENTS)
     assert rt.text == "← 2012"
+
+
+def test_get_text_v1_equals_v2_on_real_pages():
+    """O4: the legacy v1 renderer agrees byte-for-byte with canonical
+    v2 on well-formed content (the reference keeps both; v2 is a
+    faster reformulation of the same four whitespace rules)."""
+    from rsoup_spark.functions.dom import parse_document
+    from rsoup_spark.functions.text import get_text, get_text_v1
+
+    wiki = open(
+        "/root/reference/tests/resources/wikipedia/"
+        "List_of_highest_mountains_on_Earth.html"
+    ).read()
+    cases = [
+        wiki,
+        "<div>a<p> b  c </p>d</div>",
+        "<span>x</span> <b>y</b>\n<p>z</p>",
+        "<ul><li>one<li>two</ul>tail",
+        "<table><tr><td>a</td><td>b</td></tr></table>",
+    ]
+    for html in cases:
+        doc = parse_document(html)
+        assert get_text_v1(doc) == get_text(doc), html[:60]
+
+
+def test_get_text_v1_line_rules():
+    """v1's own contract (get_text_v1.rs rules 1-4): block lines,
+    empty lines skipped, whitespace collapsed, ends trimmed."""
+    from rsoup_spark.functions.dom import parse_document
+    from rsoup_spark.functions.text import get_text_v1
+
+    doc = parse_document(
+        "<div>  a   b </div><div>   </div><p>c</p>inline <b>d</b>"
+    )
+    assert get_text_v1(doc) == "a b\nc\ninline d"
