@@ -538,23 +538,38 @@ def q_set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.exceptAll(high).unionByName(low).distinct()
 
 
+def epoch_us_ntz(col) -> F.Column:
+    """Microsecond epoch of a timezone-naive timestamp, naive-as-UTC
+    (DuckDB's ``epoch_us``), computed from pure wall-clock arithmetic.
+
+    events.ts is a timezone-NAIVE parquet timestamp: cast-to-timestamp
+    interprets the wall clock in the *session* timezone, shifting the
+    epoch by the tz offset -- and the from_utc_timestamp round-trip
+    that undoes the shift is NOT invertible for wall times inside the
+    session tz's DST spring-forward gap (02:30 on a US gap day came
+    back one hour high).  This form never touches the session timezone
+    at all, so it is exact for every representable timestamp under ANY
+    session timezone (DST-gap regression pinned in
+    tests/test_oracle_contract.py).
+    """
+    c = col.cast("timestamp_ntz")
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86_400_000_000
+        + F.hour(c).cast("long") * 3_600_000_000
+        + F.minute(c).cast("long") * 60_000_000
+        + F.second(c).cast("long") * 1_000_000
+        + F.date_format(c, "SSSSSS").cast("long")
+    )
+
+
 def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization via window lag: a >30-minute gap starts a
     new session; returns per-session event counts and bounds."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # microsecond epoch (events.ts carries microseconds); a whole-second
-    # unix_timestamp gap truncates and diverges from DuckDB's epoch().
-    # events.ts is a timezone-NAIVE parquet timestamp: cast-to-timestamp
-    # interprets the wall clock in the *session* timezone, shifting the
-    # epoch by the tz offset.  from_utc_timestamp(_, current_timezone())
-    # applies the equal-and-opposite shift, so the emitted integers equal
-    # DuckDB's epoch_us(ts) (naive-as-UTC) under ANY session timezone.
-    def _epoch_us(col):
-        return F.unix_micros(
-            F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
-        )
-
+    # unix_timestamp gap truncates and diverges from DuckDB's epoch()
+    _epoch_us = epoch_us_ntz
     epoch = _epoch_us(F.col("ts"))
     gaps = ev.select(
         "user_id",

@@ -599,19 +599,30 @@ class CrawlEngine:
         }
         with open(self._path(r, "metrics.json"), "w") as f:
             json.dump(metrics, f)
+        if self.store.has_log("expired", r - 1):
+            # recrawl rounds invalidate the derived arithmetic: the
+            # post-expiry groupBy merge collapses duplicate frontier
+            # rows and the seen append includes rescheduled victims --
+            # count the tables actually written (tiny parquet reads,
+            # expiry rounds only)
+            frontier_rows = self.store.read(r, "frontier").count()
+            seen_appended = self.store.read(r, "seen").count()
+        else:
+            frontier_rows = (
+                metrics["n_candidates"]
+                - metrics["n_blocked"]
+                - metrics["n_scheduled"]
+                + metrics["n_new"]
+            )
+            seen_appended = metrics["n_new"]
         self.store.write_manifest(
             r,
             done=metrics["n_scheduled"] == 0,
             snapshot={
                 "tables": {
                     "order": {"rows": metrics["n_scheduled"]},
-                    "seen": {"rows_appended": metrics["n_new"]},
-                    "frontier": {
-                        "rows": metrics["n_candidates"]
-                        - metrics["n_blocked"]
-                        - metrics["n_scheduled"]
-                        + metrics["n_new"]
-                    },
+                    "seen": {"rows_appended": seen_appended},
+                    "frontier": {"rows": frontier_rows},
                     "shards": {"rows": cfg.n_shards},
                 },
                 "lineage": self._path(r, "lineage"),
@@ -638,15 +649,17 @@ class CrawlEngine:
             assert seeds is not None, "fresh run needs seeds"
             self.init_state(seeds)
             start = 0
-        # a resume with pending work always gets rounds to run, even
-        # when expire() re-enqueued at the round cap (start ==
-        # max_rounds would otherwise make the range empty and silently
-        # never recrawl the victims): extend the horizon by another
-        # max_rounds window past the cap.  An ordinary mid-run resume
+        # a post-expiry resume always gets rounds to run, even when
+        # expire() re-enqueued at the round cap (start == max_rounds
+        # would otherwise make the range empty and silently never
+        # recrawl the victims): extend the horizon by another
+        # max_rounds window past the cap.  Gated on the expired log so
+        # a PLAIN capped crawl keeps its cap -- repeated resumes must
+        # not become an unbounded crawl.  An ordinary mid-run resume
         # (start < max_rounds) keeps the original cap so a resumed
         # crawl stays round-for-round equal to an uninterrupted one.
         end = self.cfg.max_rounds
-        if start >= end:
+        if start >= end and self.store.has_log("expired", start):
             end = start + self.cfg.max_rounds
         history = []
         for r in range(start + 1, end + 1):

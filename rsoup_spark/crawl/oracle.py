@@ -99,9 +99,32 @@ def simulate(
         float(12 ** pr_iters) if score_mode == "pagerank" else 1.0
     )
 
+    # expired_mode mirrors the engine's has_log('expired', r-1): once
+    # any expiry happened, discovered urls best-priority-MERGE into the
+    # carried frontier (a re-enqueued victim rediscovered by a link
+    # must keep its depth-0 seed priority, not be overwritten)
+    expired_mode = False
+
+    def apply_expiry() -> None:
+        nonlocal expired_mode
+        victims = pending_expiries.pop(0)
+        seen.difference_update(victims)
+        for v in victims:
+            d, s = frontier.get(v, (1 << 30, -1.0))
+            frontier[v] = (min(d, 0), max(s, reenqueue_score))
+        expired_mode = True
+
     end = max_rounds
     r = 0
-    while r < end:
+    while True:
+        if r >= end:
+            if not pending_expiries:
+                break
+            # engine.expire(victims) at the round cap: resume extends
+            # the horizon by another max_rounds window (frontier.run,
+            # gated on the expired log) and continues with round r+1
+            apply_expiry()
+            end = r + max_rounds
         r += 1
         # 1. robots gate: blocked urls leave the frontier permanently
         allowed = {
@@ -129,11 +152,7 @@ def simulate(
             # re-enqueue score (merged best-priority against anything
             # already queued), and resume gets a fresh round window
             # when the crawl drained at the cap.
-            victims = pending_expiries.pop(0)
-            seen -= set(victims)
-            for v in victims:
-                d, s = frontier.get(v, (1 << 30, -1.0))
-                frontier[v] = (min(d, 0), max(s, reenqueue_score))
+            apply_expiry()
             if r >= end:
                 end = r + max_rounds
             continue
@@ -165,7 +184,17 @@ def simulate(
         frontier = {
             u: ds for u, ds in allowed.items() if u not in sched
         }
-        frontier.update(new_urls)
+        if expired_mode:
+            # mirror the engine's post-expiry groupBy(min depth,
+            # max score) over the union of carried + discovered
+            for u, (d, s) in new_urls.items():
+                if u in frontier:
+                    d0, s0 = frontier[u]
+                    frontier[u] = (min(d0, d), max(s0, s))
+                else:
+                    frontier[u] = (d, s)
+        else:
+            frontier.update(new_urls)
         seen.update(new_urls)
 
         if score_mode == "pagerank":

@@ -323,7 +323,10 @@ def fix_tree(node: Node) -> list[Node]:
         else:
             for subtree in subtrees:
                 if _is_block(subtree):
-                    trees.extend(fix_tree(subtree))
+                    # already normalized by the recursive call above
+                    # (the reference re-runs fix_tree here, which only
+                    # re-clones an identical tree)
+                    trees.append(subtree)
                 elif _is_block(trees[-1]):
                     # reopen the inline wrapper after a hoisted block
                     reopened = Node("element", tag=node.tag,

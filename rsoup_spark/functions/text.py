@@ -191,7 +191,7 @@ _V1_WS = __import__("re").compile(r"\s+")
 
 
 def get_text_v1(el: Node) -> str:
-    """Plain rendered text, legacy v1 algorithm (get_text_v1.rs:24-85).
+    r"""Plain rendered text, legacy v1 algorithm (get_text_v1.rs:24-85).
 
     Same block-element line structure as :func:`get_text` (v2), but
     each line is collapsed wholesale: raw text tokens joined, then

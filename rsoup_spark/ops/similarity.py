@@ -387,9 +387,10 @@ def embedding_dup_pairs(
         else:
             n_tables = need
     if method == "lsh":
-        T = n_tables if n_tables is not None else min(
-            _lsh_tables(tau, n_planes, target_recall), MAX_LSH_TABLES
-        )
+        # n_tables is always set here: explicit from the caller, or
+        # assigned by the auto-sizer above (which otherwise switched
+        # method to "gemm")
+        T = n_tables
         sig = _sig_udf(n_planes, dim, T)
         v = vectors.select(
             F.col(id_col).alias("id"),

@@ -108,3 +108,53 @@ def test_sessionize_tz_invariant(spark):
     oidx = [ocols.index(c) for c in spark_sorted_cols]
     orows_aligned = sorted(tuple(r[i] for i in oidx) for r in orows)
     assert utc == orows_aligned
+
+
+def test_epoch_us_ntz_exact_under_dst_gap(spark, tmp_path):
+    """epoch_us_ntz must equal DuckDB's epoch_us for EVERY naive
+    timestamp under a non-UTC session tz -- including wall times inside
+    the DST spring-forward gap (where the previous
+    from_utc_timestamp(cast(...)) round-trip came back an hour high)
+    and the fall-back overlap."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import epoch_us_ntz
+
+    vals = [
+        dt.datetime(2024, 3, 10, 2, 30, 0, 123456),   # NY spring gap
+        dt.datetime(2024, 11, 3, 1, 30, 0, 5),        # NY fall overlap
+        dt.datetime(2024, 1, 1, 5, 0, 4, 729045),
+        dt.datetime(2024, 6, 15, 12, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # pre-epoch
+    ]
+    p = str(tmp_path / "ts.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(vals, pa.timestamp("us"))}), p
+    )
+    import pyspark.sql.functions as F
+
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        got = dict(
+            spark.read.parquet(p)
+            .select(
+                F.col("ts").cast("string").alias("s"),
+                epoch_us_ntz(F.col("ts")).alias("e"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set(tz_key, orig)
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT CAST(ts AS VARCHAR), epoch_us(ts) FROM '{p}'"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want

@@ -192,3 +192,101 @@ def test_event_log_semantics(spark, web):
         assert not (set(victims) & eng.seen_set())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_rediscovered_victim_keeps_seed_priority(spark):
+    """A re-enqueued victim that is link-rediscovered BEFORE being
+    scheduled keeps its depth-0 seed priority (the engine best-
+    priority-merges; the oracle must not overwrite with the decayed
+    discovery) -- engine order == simulate(expire_events) on a chain
+    where the recrawled parent re-links a pending victim."""
+    from rsoup_spark.crawl.oracle import simulate
+
+    H = "https://h0.test"
+
+    def page(url, links):
+        body = "".join(f'<a href="{x}">x</a>' for x in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    graph = {
+        f"{H}/a": [f"{H}/b", f"{H}/w"],
+        f"{H}/b": [f"{H}/u"],
+        f"{H}/u": [],
+        f"{H}/w": [],
+    }
+    pages = spark.createDataFrame(
+        [page(u, ls) for u, ls in graph.items()],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", ["/private"], 1.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    seeds = spark.createDataFrame(
+        [(f"{H}/a", 1.0, 0)], "url string, score double, depth int"
+    )
+    cfg = CrawlConfig(batch_size=16, round_seconds=1.0, max_rounds=10,
+                      n_shards=4, seen_filter="cuckoo",
+                      cuckoo_buckets=1 << 10, checkpoint_coalesce=1)
+    tmp = tempfile.mkdtemp(prefix="recrawl_pri_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        eng.run(seeds=seeds)
+        victims = [f"{H}/b", f"{H}/u", f"{H}/w"]
+        eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string")
+        )
+        eng.run(resume=True)
+        want_order, want_seen = simulate(
+            graph, [(f"{H}/a", 1.0, 0)],
+            [("h0.test", ["/private"], 1.0)],
+            batch_size=16, round_seconds=1.0, max_rounds=10,
+            expire_events=[victims],
+        )
+        assert eng.crawl_order() == want_order
+        assert eng.seen_set() == want_seen
+        # the recrawl-path manifest row counts reflect the tables
+        # actually written (the derived arithmetic is stale once the
+        # merge collapses duplicates)
+        last, _ = eng.last_round()
+        assert (
+            eng.store.read_manifest()["snapshot"]["tables"]["frontier"][
+                "rows"
+            ]
+            == eng.store.read(last, "frontier").count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_capped_resume_stays_capped_without_expiry(spark, web):
+    """A crawl that hits max_rounds with work remaining keeps its cap
+    on plain resume (no silent unbounded crawl); only a post-expiry
+    resume extends the horizon."""
+    cfg = CrawlConfig(batch_size=4, round_seconds=1.0, max_rounds=2,
+                      n_shards=8, seen_filter="cuckoo",
+                      cuckoo_buckets=1 << 10)
+    tmp = tempfile.mkdtemp(prefix="recrawl_cap_")
+    try:
+        pages, robots, seeds = web
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        h = eng.run(seeds=seeds)
+        assert len(h) == 2 and h[-1]["n_scheduled"] > 0  # capped mid-work
+        assert eng.run(resume=True) == []  # cap respected
+        assert eng.last_round()[0] == 2
+        # post-expiry resume DOES get a fresh window and recrawls
+        victims = sorted(u for _r, _k, u in eng.crawl_order())[:2]
+        eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string")
+        )
+        h2 = eng.run(resume=True)
+        assert h2, "post-expiry resume must run rounds past the cap"
+        resched = {
+            u for r, _k, u in eng.crawl_order()
+            if r > 2 and u in set(victims)
+        }
+        assert resched == set(victims)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
