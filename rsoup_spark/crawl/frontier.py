@@ -314,9 +314,12 @@ class CrawlEngine:
                 )
             )
             self.store.rewrite(merged, r, "frontier")
-            # a finished crawl has work again: clear done so resume runs
+            # a finished crawl has work again: clear done so resume
+            # runs; the current horizon carries through so a mid-window
+            # expiry does not re-extend (run's extension rule)
             m = self.store.read_manifest()
             self.store.write_manifest(r, done=False,
+                                      horizon=m.get("horizon"),
                                       snapshot=m.get("snapshot"))
         victims.unpersist()
         return {"round": r, "n_expired": n, "reenqueued": bool(reenqueue)}
@@ -532,15 +535,32 @@ class CrawlEngine:
         self._write(next_frontier, r, "frontier")
         # append-only seen: only this round's new urls are written
         new_seen = new_urls.select("url")
+        resched_cache = None
         if self.store.has_log("expired", r - 1):
             # recrawl path: an expired URL re-enqueued by expire() is
             # scheduled while absent from seen -- crawling it re-seens
             # it even when no surviving page links to it.  Expiry-only
             # branch; in a plain crawl scheduled ⊆ seen always.
-            rescheduled = scheduled.select("url").join(
-                seen, "url", "left_anti"
-            )
-            new_seen = new_seen.unionByName(rescheduled).distinct()
+            rescheduled = scheduled.join(seen, "url", "left_anti")
+            new_seen = new_seen.unionByName(
+                rescheduled.select("url")
+            ).distinct()
+            if cfg.seen_filter == "cuckoo":
+                # the victim's fingerprint was physically deleted by
+                # expire(), and the recrawl anti-join keeps it out of
+                # cand_new in its own scheduling round -- so in
+                # the production backstop-off mode, where the filter IS
+                # the seen set, a later-round link would re-admit it as
+                # probably_new and crawl it twice.  Re-insert the
+                # round's scheduled-but-unseen fingerprints (<= one
+                # batch of rows, expiry rounds only).  Bloom needs no
+                # pass: its bits were never cleared.
+                resched_cand = with_shard_cols(
+                    rescheduled, "url", "host", cfg.n_shards
+                )
+                _, new_shards, resched_cache = self._filter_update(
+                    resched_cand, new_shards
+                )
         self._write(new_seen, r, "seen")
         self._write(new_shards, r, "shards")
 
@@ -618,6 +638,7 @@ class CrawlEngine:
         self.store.write_manifest(
             r,
             done=metrics["n_scheduled"] == 0,
+            horizon=getattr(self, "_horizon", None) or self.cfg.max_rounds,
             snapshot={
                 "tables": {
                     "order": {"rows": metrics["n_scheduled"]},
@@ -630,7 +651,7 @@ class CrawlEngine:
         )
 
         for df in (cand, scheduled, fetched, contrib, probably_new,
-                   new_urls, bloom_cache):
+                   new_urls, bloom_cache, resched_cache):
             if df is not None:
                 df.unpersist()
         return metrics
@@ -645,22 +666,35 @@ class CrawlEngine:
             start, done = self.last_round()
             if done:
                 return []
+            # the crawl's CURRENT round horizon travels in the manifest
+            # (written by every round): a resume inside an already-
+            # extended window must keep that window's end, not reset to
+            # cfg.max_rounds -- otherwise a mid-window resume at
+            # start >= cfg.max_rounds would re-extend and diverge from
+            # the oracle, which only extends when r >= its current end.
+            end = self.store.read_manifest().get(
+                "horizon", self.cfg.max_rounds
+            ) or self.cfg.max_rounds
         else:
             assert seeds is not None, "fresh run needs seeds"
             self.init_state(seeds)
             start = 0
+            end = self.cfg.max_rounds
         # a post-expiry resume always gets rounds to run, even when
-        # expire() re-enqueued at the round cap (start == max_rounds
+        # expire() re-enqueued at the round cap (start == horizon
         # would otherwise make the range empty and silently never
         # recrawl the victims): extend the horizon by another
-        # max_rounds window past the cap.  Gated on the expired log so
-        # a PLAIN capped crawl keeps its cap -- repeated resumes must
-        # not become an unbounded crawl.  An ordinary mid-run resume
-        # (start < max_rounds) keeps the original cap so a resumed
-        # crawl stays round-for-round equal to an uninterrupted one.
-        end = self.cfg.max_rounds
-        if start >= end and self.store.has_log("expired", start):
+        # max_rounds window past the cap.  Gated on an expiry logged
+        # AT the current round -- i.e. expire() ran after the crawl
+        # stopped here -- NOT merely anywhere in the log: any ancient
+        # expiry would otherwise extend every later capped resume
+        # forever (unbounded crawl).  A plain capped crawl keeps its
+        # cap, and an ordinary mid-window resume (start < end) keeps
+        # the current window so a resumed crawl stays round-for-round
+        # equal to an uninterrupted one (oracle.simulate's rule).
+        if start >= end and self.store.exists(start, "expired"):
             end = start + self.cfg.max_rounds
+        self._horizon = end
         history = []
         for r in range(start + 1, end + 1):
             m = self.run_round(r)

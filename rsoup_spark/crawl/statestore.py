@@ -137,15 +137,21 @@ class ParquetStateStore:
         round_no: int,
         done: bool,
         snapshot: Optional[dict] = None,
+        horizon: Optional[int] = None,
     ) -> None:
         """Atomic commit point for the round.  ``snapshot`` carries the
         per-round metadata an Iceberg snapshot summary would: schema
-        version, per-table row counts, the lineage table pointer."""
+        version, per-table row counts, the lineage table pointer.
+        ``horizon`` is the crawl's current round cap (extended past
+        max_rounds by post-expiry resumes); resume reads it back so a
+        mid-window restart keeps the same window."""
         doc = {
             "round": round_no,
             "done": done,
             "schema_version": SCHEMA_VERSION,
         }
+        if horizon is not None:
+            doc["horizon"] = int(horizon)
         if snapshot:
             doc["snapshot"] = snapshot
         tmp = self._manifest_path() + ".tmp"
@@ -291,6 +297,7 @@ class IcebergStateStore:
         round_no: int,
         done: bool,
         snapshot: Optional[dict] = None,
+        horizon: Optional[int] = None,
     ) -> None:
         df = self.spark.createDataFrame(
             [(
@@ -298,11 +305,12 @@ class IcebergStateStore:
                 bool(done),
                 SCHEMA_VERSION,
                 json.dumps(snapshot or {}),
+                int(horizon) if horizon is not None else None,
                 # one commit per (round, done) transition, monotonic
                 int(round_no) * 2 + int(bool(done)),
             )],
             "round INT, done BOOLEAN, schema_version INT, "
-            "snapshot STRING, commit_seq LONG",
+            "snapshot STRING, horizon INT, commit_seq LONG",
         )
         self._write_append(df, "manifest", None)
 
@@ -322,6 +330,8 @@ class IcebergStateStore:
             "done": r["done"],
             "schema_version": r["schema_version"],
         }
+        if r["horizon"] is not None:
+            doc["horizon"] = r["horizon"]
         snap = json.loads(r["snapshot"])
         if snap:
             doc["snapshot"] = snap

@@ -261,6 +261,126 @@ def test_rediscovered_victim_keeps_seed_priority(spark):
 
 
 @pytest.mark.spark
+def test_two_expiries_at_cap_match_oracle_and_stay_bounded(spark):
+    """Two expire() -> run(resume=True) cycles, each at the round cap,
+    on a crawl that never drains: the horizon extends exactly one
+    max_rounds window per expiry (engine order/seen == oracle with the
+    same expire_events), and FURTHER plain resumes run nothing -- the
+    expired log from earlier windows must not keep extending the cap
+    (the unbounded-crawl regression)."""
+    from rsoup_spark.crawl.oracle import simulate
+
+    H = "https://h0.test"
+
+    def page(url, links):
+        body = "".join(f'<a href="{x}">x</a>' for x in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    graph = {
+        f"{H}/a": [f"{H}/b", f"{H}/c", f"{H}/d", f"{H}/e"],
+        f"{H}/b": [], f"{H}/c": [], f"{H}/d": [], f"{H}/e": [],
+    }
+    pages = spark.createDataFrame(
+        [page(u, ls) for u, ls in graph.items()],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", ["/private"], 1.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    seeds = spark.createDataFrame(
+        [(f"{H}/a", 1.0, 0)], "url string, score double, depth int"
+    )
+    cfg = CrawlConfig(batch_size=1, round_seconds=1.0, max_rounds=2,
+                      n_shards=4, checkpoint_coalesce=1)
+    tmp = tempfile.mkdtemp(prefix="recrawl_2x_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        h = eng.run(seeds=seeds)
+        assert len(h) == 2 and h[-1]["n_scheduled"] > 0  # capped mid-work
+        ev1, ev2 = [f"{H}/a"], [f"{H}/b"]
+        eng.expire(spark.createDataFrame([(u,) for u in ev1], "url string"))
+        assert len(eng.run(resume=True)) == 2  # one window, not more
+        eng.expire(spark.createDataFrame([(u,) for u in ev2], "url string"))
+        assert len(eng.run(resume=True)) == 2
+        want_order, want_seen = simulate(
+            graph, [(f"{H}/a", 1.0, 0)],
+            [("h0.test", ["/private"], 1.0)],
+            batch_size=1, round_seconds=1.0, max_rounds=2,
+            expire_events=[ev1, ev2],
+        )
+        assert eng.crawl_order() == want_order
+        assert eng.seen_set() == want_seen
+        # stale expired log must not re-extend: repeated plain resumes
+        # at the new cap run zero rounds
+        assert eng.run(resume=True) == []
+        assert eng.run(resume=True) == []
+        assert eng.last_round()[0] == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_cuckoo_backstop_off_no_double_crawl(spark):
+    """Production cuckoo mode (exact_backstop=False, the filter IS the
+    seen set): a rescheduled victim's fingerprint is re-inserted in its
+    scheduling round, so a LATER round's link to it cannot re-admit it
+    via probably_new -- order/seen match the oracle, no URL crawled
+    twice after the recrawl."""
+    from collections import Counter
+
+    from rsoup_spark.crawl.oracle import simulate
+
+    H = "https://h0.test"
+
+    def page(url, links):
+        body = "".join(f'<a href="{x}">x</a>' for x in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    graph = {
+        f"{H}/a": [f"{H}/b", f"{H}/c"],
+        f"{H}/b": [],
+        f"{H}/c": [f"{H}/b"],
+    }
+    pages = spark.createDataFrame(
+        [page(u, ls) for u, ls in graph.items()],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", ["/private"], 1.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    seeds = spark.createDataFrame(
+        [(f"{H}/a", 1.0, 0)], "url string, score double, depth int"
+    )
+    cfg = CrawlConfig(batch_size=1, round_seconds=1.0, max_rounds=10,
+                      n_shards=4, seen_filter="cuckoo",
+                      cuckoo_buckets=1 << 10, exact_backstop=False,
+                      checkpoint_coalesce=1)
+    tmp = tempfile.mkdtemp(prefix="recrawl_ckoff_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg)
+        eng.run(seeds=seeds)
+        victims = [f"{H}/b", f"{H}/c"]
+        eng.expire(
+            spark.createDataFrame([(u,) for u in victims], "url string")
+        )
+        eng.run(resume=True)
+        want_order, want_seen = simulate(
+            graph, [(f"{H}/a", 1.0, 0)],
+            [("h0.test", ["/private"], 1.0)],
+            batch_size=1, round_seconds=1.0, max_rounds=10,
+            expire_events=[victims],
+        )
+        assert eng.crawl_order() == want_order
+        assert eng.seen_set() == want_seen
+        post = [u for r, _k, u in eng.crawl_order() if r > 4]
+        assert max(Counter(post).values()) == 1, "victim crawled twice"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_capped_resume_stays_capped_without_expiry(spark, web):
     """A crawl that hits max_rounds with work remaining keeps its cap
     on plain resume (no silent unbounded crawl); only a post-expiry
