@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textstats import collapsed, doc_fingerprint, tokens
 
@@ -175,6 +176,71 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list,
+    max_bucket_size: int | None,
+    payload: str | None = None,
+):
+    """Self-join candidate pairs within buckets, with hot buckets
+    (> ``max_bucket_size`` rows) collapsed to a star on the bucket's
+    min-doc_id representative.
+
+    The bucket self-join is quadratic in bucket size, so one
+    degenerate key (boilerplate-heavy web corpora routinely share a
+    band) would otherwise dominate the whole job -- the same skew bomb
+    ``jaccard_pairs`` defuses with its df cap.  An over-cap bucket is
+    by construction a near-clique duplicate set, so emitting only the
+    (representative, member) star keeps every member connected (the
+    downstream ``dup_clusters`` labeling is unchanged for true
+    cliques) while bounding its candidates at O(bucket) instead of
+    O(bucket^2).  Pairwise output inside an over-cap bucket is the
+    star subset -- acceptable precision loss exactly where exhaustive
+    pair emission is the scale failure.
+
+    One shuffle: sizes and representatives come from a window over the
+    bucket key, co-partitioned with the self-join's own exchange.
+    Returns (id_a, id_b [, payload_a, payload_b]) with id_a < id_b,
+    NOT yet distinct (callers dedup after any verify columns).
+    """
+    pay = [payload] if payload else []
+    if max_bucket_size is not None:
+        w = Window.partitionBy(*key_cols)
+        rep_struct = F.min(F.struct("doc_id", *pay)).over(w)
+        sized = buckets.withColumn(
+            "__bsz", F.count("*").over(w)
+        ).withColumn("__rep", rep_struct)
+        ok = sized.where(F.col("__bsz") <= max_bucket_size).drop(
+            "__bsz", "__rep"
+        )
+        hot = sized.where(F.col("__bsz") > max_bucket_size)
+        star = hot.where(F.col("doc_id") != F.col("__rep.doc_id")).select(
+            F.col("__rep.doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            *[
+                F.col(f"__rep.{p}").alias(f"{p}_a") for p in pay
+            ],
+            *[F.col(p).alias(f"{p}_b") for p in pay],
+        )
+    else:
+        ok, star = buckets, None
+    a = ok.alias("a")
+    b = ok.alias("b")
+    pairs = (
+        a.join(b, key_cols)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            *[F.col(f"a.{p}").alias(f"{p}_a") for p in pay],
+            *[F.col(f"b.{p}").alias(f"{p}_b") for p in pay],
+        )
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -184,6 +250,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify: str = "signature",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then verified.
 
@@ -199,6 +266,11 @@ def minhash_lsh_pairs(
     subset of the brute-force Jaccard result that (at recall ~1 for
     sims well above threshold) equals it -- making it oracle-checkable
     against the same SQL as the exact operator.
+
+    ``max_bucket_size`` caps the band-bucket self-join (the one
+    quadratic stage): over-cap buckets emit a min-id-representative
+    star instead of all pairs -- see ``_capped_bucket_pairs``.  The
+    1000 default mirrors ``jaccard_pairs``' df cap; None disables.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
@@ -216,16 +288,9 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
 
-    a = buckets.alias("a")
-    b2 = buckets.alias("b")
-    cand = (
-        a.join(b2, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(
+        buckets, ["band", "key"], max_bucket_size
+    ).distinct()
 
     if verify == "jaccard":
         sh = docs.select(
@@ -316,13 +381,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
     Pigeonhole banding: with k = max_hamming, split the SIMHASH_BITS
     bits into k+1 chunks; any pair within distance k agrees on >= 1
     whole chunk, so bucket-join per chunk and verify with
-    bit_count(xor).
+    bit_count(xor).  ``max_bucket_size`` collapses degenerate chunk
+    buckets to a representative star exactly like the MinHash path
+    (``_capped_bucket_pairs``); star pairs still pass the exact
+    hamming check.
     """
     k = max_hamming + 1
     width = SIMHASH_BITS // k
@@ -344,16 +413,15 @@ def simhash_pairs(
         "doc_id", "simhash", F.explode(F.array(*chunks)).alias("bk")
     ).select("doc_id", "simhash", "bk.chunk", "bk.key")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
     return (
-        a.join(b, ["chunk", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        _capped_bucket_pairs(
+            buckets, ["chunk", "key"], max_bucket_size, payload="simhash"
+        )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
         )
         .distinct()

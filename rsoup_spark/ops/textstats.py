@@ -442,7 +442,9 @@ def decontaminate(
     meet in one equi-join on the gram -- the same bucketed posting-list
     shape as the Jaccard dedup, never an all-pairs comparison.  The
     eval side is deduped to one row per gram, so join fan-out is
-    bounded by the true overlap.
+    bounded by the true overlap; eval sets are small by definition, so
+    that side is broadcast-pinned (broadcast-by-construction, not
+    by-AQE-statistics) and the training corpus never shuffles.
     """
 
     def doc_grams(df: DataFrame) -> DataFrame:
@@ -461,7 +463,7 @@ def decontaminate(
     eval_grams = doc_grams(eval_docs).select("gram").distinct()
     return (
         doc_grams(train)
-        .join(eval_grams, "gram")
+        .join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
     )

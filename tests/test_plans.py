@@ -177,3 +177,33 @@ def test_emb_dup_low_tau_falls_back_to_gemm(spark):
     )
     assert "FlatMapCoGroupsInPandas" not in plan2
     assert "ArrowEvalPython" in plan2
+
+
+@pytest.mark.spark
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The deduped eval-gram side is broadcast-by-construction (eval
+    sets are small by definition), not left to AQE statistics: the
+    training corpus never shuffles on the gram key."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import has_sort_merge_join, plan_text
+
+    df = e.queries()["decontaminate"](spark, SF_SMALL)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_sort_merge_join(df)
+
+
+@pytest.mark.spark
+def test_lsh_hot_bucket_cap_single_window_pass(spark):
+    """The band-bucket cap must ride the self-join's own (band, key)
+    partitioning: sizes/representatives come from a window over the
+    bucket key -- no Python stage and no Cartesian product appear."""
+    from rsoup_spark.ops.dedup import minhash_lsh_pairs
+    from rsoup_spark.plans.review import plan_text
+    from rsoup_spark.sources.docs import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_text(minhash_lsh_pairs(docs, max_bucket_size=100))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(band" in plan
+    assert "hashpartitioning(band" in plan

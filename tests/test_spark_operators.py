@@ -97,6 +97,65 @@ class TestOpsRecall:
         expect = {(i, i + 10_000) for i in range(n)}
         assert expect <= found
 
+    def test_lsh_hot_bucket_cap_bounds_candidates(self, spark):
+        """Degenerate corpus (thousands of docs sharing every band):
+        the bucket cap collapses the quadratic self-join to a min-id
+        star, so the pair count stays O(n) -- and the star keeps the
+        duplicate set fully connected for the cluster stage."""
+        from rsoup_spark.ops.dedup import dup_clusters, minhash_lsh_pairs
+
+        n = 3000  # uncapped would emit ~4.5M pairs x 16 bands
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate text repeated on every page "
+                  "of this template heavy website").alias("text"),
+        )
+        pairs = minhash_lsh_pairs(
+            docs, ngram=3, num_hashes=64, bands=16, threshold=0.5,
+            max_bucket_size=100,
+        ).collect()
+        # identical docs -> identical signatures -> every band is one
+        # hot bucket; the star emits exactly (rep=0, other) per band,
+        # distinct-collapsed across bands
+        assert len(pairs) == n - 1
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+            (0, i) for i in range(1, n)
+        }
+        assert all(r["sim"] == 1.0 for r in pairs)
+        labels = dup_clusters(
+            spark.createDataFrame(
+                [(r["id_a"], r["id_b"]) for r in pairs],
+                "id_a long, id_b long",
+            )
+        ).collect()
+        assert len(labels) == n
+        assert {r["canonical_id"] for r in labels} == {0}
+
+    def test_lsh_cap_is_invisible_below_cap(self, spark):
+        """On a normal corpus (all buckets under the cap) the capped
+        and uncapped paths return identical pairs -- the gate query's
+        oracle equality is untouched by the default cap."""
+        from rsoup_spark.ops.dedup import minhash_lsh_pairs, simhash_pairs
+        from rsoup_spark.sources.docs import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        capped = set(
+            map(tuple, minhash_lsh_pairs(docs, max_bucket_size=1000)
+                .collect())
+        )
+        uncapped = set(
+            map(tuple, minhash_lsh_pairs(docs, max_bucket_size=None)
+                .collect())
+        )
+        assert capped == uncapped
+        sh_capped = set(
+            map(tuple, simhash_pairs(docs, max_bucket_size=1000).collect())
+        )
+        sh_uncapped = set(
+            map(tuple, simhash_pairs(docs, max_bucket_size=None).collect())
+        )
+        assert sh_capped == sh_uncapped
+
     def test_ivf_recall_vs_brute(self, spark):
         """IVF with n_probe=n_cells degenerates to exact search; with
         fewer probes it must still return valid cosines <= brute best."""
