@@ -1090,26 +1090,43 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing over a corpus with deterministically injected
-    emails/phones: per-pattern hit counts + md5 of the masked text
-    (pure JVM regexp chain; patterns are RE2-compatible so the oracle
-    replays them verbatim)."""
+    """PII scrubbing over a corpus with one deterministically injected
+    instance of every shipped pattern class (email, SSN, IPv4, NANP
+    phone, E.164 phone): per-pattern hit counts + md5 of the masked
+    text (pure JVM regexp chain; patterns are RE2-compatible so the
+    oracle replays them verbatim, and counts are computed on the
+    progressively-masked text on both sides)."""
     from rsoup_spark.ops.textstats import scrub_pii
 
+    did = F.col("doc_id")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
             F.lit(" contact doc"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or 555-0"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            did.cast("string"),
+            F.lit("@example.com ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 200).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit(" call 555-01"),
+            (did % 10).cast("string"),
+            F.lit("-"),
+            F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+            F.lit(" or +1415555"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
         ).alias("text"),
     )
     out = scrub_pii(docs)
     return out.select(
         "doc_id",
         "n_email",
+        "n_ssn",
+        "n_ipv4",
         "n_phone",
         F.length("clean_text").cast("bigint").alias("clean_len"),
         F.md5("clean_text").alias("clean_md5"),
@@ -1788,33 +1805,64 @@ FROM tr JOIN e USING (gram)
 GROUP BY tr.doc_id
 """,
         # same RE2-safe patterns as rsoup_spark.ops.textstats
-        # PII_PATTERNS; DuckDB regexp_replace needs the 'g' flag to
-        # match Spark's replace-all semantics
+        # PII_PATTERNS, applied in the same order with each count
+        # computed on the previous stage's masked text; DuckDB
+        # regexp_replace needs the 'g' flag to match Spark's
+        # replace-all semantics
         "scrub_pii": """
 WITH d AS (
   SELECT doc_id,
          text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
-         '@example.com or 555-0' ||
-         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+         '@example.com ssn 123-45-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         '.' || CAST(doc_id % 200 AS VARCHAR) ||
+         '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+         ' call 555-01' || CAST(doc_id % 10 AS VARCHAR) ||
+         '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ||
+         ' or +1415555' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
   FROM documents
-), s AS (
+), s1 AS (
   SELECT doc_id,
          len(regexp_extract_all(
-           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+           t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
          ))::BIGINT AS n_email,
-         len(regexp_extract_all(text, '\\b555-0\\d{3}\\b'))::BIGINT
-           AS n_phone,
          regexp_replace(
-           regexp_replace(
-             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-             '[EMAIL]', 'g'),
-           '\\b555-0\\d{3}\\b', '[PHONE]', 'g') AS clean_text
+           t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS t1
   FROM d
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT
+           AS n_ssn,
+         regexp_replace(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g')
+           AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(
+           t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+         ))::BIGINT AS n_ipv4,
+         regexp_replace(
+           t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+           '[IP]', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ssn, n_ipv4,
+         len(regexp_extract_all(
+           t3, '(?:\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b|\\+[1-9]\\d{7,14}\\b'
+         ))::BIGINT AS n_phone,
+         regexp_replace(
+           t3,
+           '(?:\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b|\\+[1-9]\\d{7,14}\\b',
+           '[PHONE]', 'g') AS t4
+  FROM s3
 )
-SELECT doc_id, n_email, n_phone,
-       length(clean_text)::BIGINT AS clean_len,
-       md5(clean_text) AS clean_md5
-FROM s
+SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
+       length(t4)::BIGINT AS clean_len,
+       md5(t4) AS clean_md5
+FROM s4
 """,
     }
     # the stream must be byte-identical to the batch extraction

@@ -470,11 +470,22 @@ def decontaminate(
 
 
 # pii patterns deliberately RE2-compatible (no backrefs/lookaround) so
-# SQL oracles in other engines can replay them verbatim
+# SQL oracles in other engines can replay them verbatim.  Order
+# matters: patterns apply sequentially to the progressively-masked
+# text, so the email pattern (whose charset swallows digit runs like
+# '555-0123@example.com') must run before the numeric classes, and
+# ssn/ipv4 claim their shapes before the looser phone alternation.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "[EMAIL]"),
-    ("phone", r"\b555-0\d{3}\b", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    # NANP with separators (optional +1 / 1 prefix, optional area-code
+    # parens) or bare E.164 (+ then 8-15 digits)
+    ("phone",
+     r"(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
+     r"|\+[1-9]\d{7,14}\b",
+     "[PHONE]"),
 )
 
 
@@ -484,16 +495,22 @@ def scrub_pii(
     text_col: str = "text",
     patterns: tuple = PII_PATTERNS,
 ) -> DataFrame:
-    """Mask PII spans (emails, phone numbers) and report per-pattern
-    hit counts: (doc_id, n_<name>..., clean_text).  Pure JVM
-    regexp_count/regexp_replace chain -- map-only, codegen, pushes the
-    projection into the scan.
+    """Mask PII spans (emails, SSNs, IPv4s, phone numbers) and report
+    per-pattern hit counts: (doc_id, n_<name>..., clean_text).  Pure
+    JVM regexp_count/regexp_replace chain -- map-only, codegen, pushes
+    the projection into the scan.
+
+    Each pattern's count is computed on the text AFTER all earlier
+    patterns masked it, so ``n_<name>`` is exactly the number of
+    ``[NAME]`` tokens that pattern contributed to ``clean_text`` --
+    overlapping matches (a phone-shaped run inside an email) are
+    counted once, by the pattern that actually masked them.
     """
     cols = [F.col(id_col)]
     clean = F.col(text_col)
     for name, pat, repl in patterns:
         cols.append(
-            F.regexp_count(F.col(text_col), F.lit(pat))
+            F.regexp_count(clean, F.lit(pat))
             .cast("bigint")
             .alias(f"n_{name}")
         )

@@ -276,22 +276,86 @@ def test_decontaminate_planted(spark):
 
 @pytest.mark.spark
 def test_scrub_pii_masks_and_counts(spark):
+    """One fixture doc per shipped pattern class + overlap cases:
+    counts are per-[TOKEN]-contributed (computed on the progressively
+    masked text), so a phone-shaped run inside an email counts once,
+    as the email that masked it."""
     from rsoup_spark.ops.textstats import scrub_pii
 
     rows = [
-        (1, "mail me at bob.smith+x@test-host.org or call 555-0123 now"),
+        (1, "mail me at bob.smith+x@test-host.org or call 555-012-3456"),
         (2, "no pii here"),
-        (3, "two mails a@b.io c@d.org and 555-0999 555-0001"),
+        (3, "ssn 123-45-6789 ip 192.168.0.1 intl +4915123456789"),
+        (4, "overlap 555-0123@example.com is just an email"),
+        (5, "paren (555) 012-3456 and +1 555-012-3456 and +14155550123"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        r["doc_id"]: (r["n_email"], r["n_phone"], r["clean_text"])
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["n_ipv4"], r["n_phone"],
+                      r["clean_text"])
         for r in scrub_pii(df).collect()
     }
-    assert got[1] == (1, 1, "mail me at [EMAIL] or call [PHONE] now")
-    assert got[2] == (0, 0, "no pii here")
-    assert got[3][0] == 2 and got[3][1] == 2
-    assert "[EMAIL]" in got[3][2] and "555-0" not in got[3][2]
+    assert got[1] == (1, 0, 0, 1,
+                      "mail me at [EMAIL] or call [PHONE]")
+    assert got[2] == (0, 0, 0, 0, "no pii here")
+    assert got[3] == (0, 1, 1, 1, "ssn [SSN] ip [IP] intl [PHONE]")
+    # the ADVICE overlap case: the phone-shaped digits live inside the
+    # email match, so they are masked (and counted) as email only
+    assert got[4] == (1, 0, 0, 0, "overlap [EMAIL] is just an email")
+    assert got[5] == (0, 0, 0, 3, "paren [PHONE] and [PHONE] and [PHONE]")
+
+
+@pytest.mark.spark
+def test_scrub_pii_matches_duckdb_oracle_semantics(spark):
+    """Replay PII_PATTERNS verbatim through DuckDB (RE2) with the same
+    sequential count-then-mask order and require identical counts and
+    masked text on an adversarial ASCII battery -- the contract the
+    driver's gate depends on.  Known divergence class, pinned below:
+    Java's \\b treats non-ASCII letters as word chars, RE2 does not,
+    so a digit run glued to a non-ASCII letter masks in RE2 only; the
+    gate corpus and injected PII are ASCII, where both agree."""
+    import duckdb
+
+    from rsoup_spark.ops.textstats import PII_PATTERNS, scrub_pii
+
+    cases = [
+        "contact a@b.com or 555-012-3456",
+        "555-0123@example.com",
+        "ssn 123-45-6789 phone 123-456-7890",
+        "ip 192.168.0.1 dottedphone 555.012.3456",
+        "e164 +14155550123 and +4915123456789",
+        "paren (555) 012-3456 and +1 555-012-3456",
+        "1.2.3.4567 not-an-ip 1.2.3.4 yes",
+        "x123-45-6789 glued to an ascii word char: no match",
+        "john.doe+spam@mail.co.uk end",
+        "+1234567 short +12345678 ok +1234567890123456 long",
+        "10.0.0.1. trailing dot 999.999.999.999 shape-only",
+        "a 555-012-3456b no trailing boundary",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    sp = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        cur = t
+        for name, pat, repl in PII_PATTERNS:
+            n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [cur, pat]
+            ).fetchone()[0]
+            assert sp[i][f"n_{name}"] == n, (i, name, t)
+            cur = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pat, repl]
+            ).fetchone()[0]
+        assert sp[i]["clean_text"] == cur, (i, t)
+    # pinned divergence: Java \b sees é as a word char (no boundary ->
+    # no mask); RE2 would mask.  Out of the ASCII gate corpus.
+    row = scrub_pii(
+        spark.createDataFrame([(0, "é123-45-6789")],
+                              "doc_id long, text string")
+    ).first()
+    assert row["n_ssn"] == 0 and row["clean_text"] == "é123-45-6789"
+    con.close()
 
 
 @pytest.mark.spark
