@@ -1089,6 +1089,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(tr, ev, n=8)
 
 
+def q_densify_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String ids -> dense consecutive longs in id sort order (the
+    pack_chunks ingest helper): two-level rank over range partitions,
+    never a global single-partition window.  The synthetic 'd<id>'
+    string ids sort differently from the numeric ids, so the oracle's
+    ORDER BY exercises true string ordering."""
+    from rsoup_spark.ops.textstats import densify_ids
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("sid"),
+    )
+    return densify_ids(docs, id_col="sid", out_col="dense_id").select(
+        "sid", "dense_id"
+    )
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a corpus with one deterministically injected
     instance of every shipped pattern class (email, SSN, IPv4, NANP
@@ -1180,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
+        "densify_ids": q_densify_ids,
         "stream_dedup": q_stream_dedup,
         "ext_text_v1": q_ext_text_v1,
         "ext_fix_tree": q_ext_fix_tree,
@@ -1803,6 +1820,12 @@ WITH t AS (
 SELECT tr.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM tr JOIN e USING (gram)
 GROUP BY tr.doc_id
+""",
+        "densify_ids": """
+SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid,
+       (row_number() OVER (ORDER BY 'd' || CAST(doc_id AS VARCHAR))
+        - 1)::BIGINT AS dense_id
+FROM documents
 """,
         # same RE2-safe patterns as rsoup_spark.ops.textstats
         # PII_PATTERNS, applied in the same order with each count

@@ -291,6 +291,53 @@ def chunk_documents(
     )
 
 
+def densify_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "dense_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Map arbitrary (e.g. string) ids to dense consecutive longs
+    0..n-1 in id sort order -- the ingest step ``pack_chunks`` (which
+    needs numeric dense doc ids for its range bucketing) tells
+    string-id users to run first.
+
+    Two-level rank, no global single-partition window (the same
+    zipWithIndex-shaped machinery pack itself uses): distinct ids are
+    range-partitioned on the id, ranked locally per partition, and the
+    per-partition counts -- one row per partition, broadcastable by
+    construction -- prefix-sum into offsets that shift local ranks to
+    global ones.  Range partitioning keeps partitions globally
+    ordered, so the result equals the global ORDER BY rank regardless
+    of where the sampled boundaries fall.  The mapping joins back on
+    the id: one shuffle, no driver data beyond the partition counts.
+    """
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    ids = (
+        ids.repartitionByRange(n_partitions, "__id")
+        if n_partitions
+        else ids.repartitionByRange("__id")
+    )
+    part = ids.withColumn("__p", F.spark_partition_id())
+    w_in = Window.partitionBy("__p").orderBy("__id")
+    local = part.withColumn("__r", F.row_number().over(w_in) - 1)
+    counts = part.groupBy("__p").agg(F.count("*").alias("__c"))
+    # one row per partition: the prefix window is single-partition but
+    # bounded by the partition count, and the join back is broadcast
+    w_b = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__p",
+        F.coalesce(F.sum("__c").over(w_b), F.lit(0)).alias("__off"),
+    )
+    mapping = local.join(F.broadcast(offsets), "__p").select(
+        "__id",
+        (F.col("__r") + F.col("__off")).cast("long").alias(out_col),
+    )
+    return df.join(
+        mapping, F.col(id_col) == F.col("__id")
+    ).drop("__id")
+
+
 # offsets-table bound for pack_chunks: 1e5 rows keep the broadcast at
 # ~1.6 MB and the single-partition prefix window sub-millisecond
 MAX_PACK_BUCKETS = 100_000
@@ -318,8 +365,8 @@ def pack_chunks(
     and the bucket offsets broadcast-join back.  Result is identical to
     one global ordered cumsum (the oracle's formulation), but the heavy
     window parallelizes over buckets; pick ``bucket_docs`` so a bucket
-    fits one task.  Numeric ``id_col`` required (pre-map string ids to
-    a dense rank first at ingest).
+    fits one task.  Numeric ``id_col`` required (map string ids with
+    ``densify_ids`` first at ingest).
 
     Packs can overrun the budget by at most one chunk's tokens - 1
     (the standard contiguous-fill bound); exact bin packing is NP-hard

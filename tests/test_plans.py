@@ -207,3 +207,19 @@ def test_lsh_hot_bucket_cap_single_window_pass(spark):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(band" in plan
     assert "hashpartitioning(band" in plan
+
+
+@pytest.mark.spark
+def test_densify_ids_two_level_rank(spark):
+    """The id rank must be computed per range-partition (windowspec
+    leads with __p) with the tiny per-partition offset table broadcast
+    back -- never one global unpartitioned window over all ids."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    plan = plan_text(e.queries()["densify_ids"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(__p" in plan
+    # the heavy rank window is partitioned; no windowspec runs
+    # directly over the raw id column
+    assert "windowspecdefinition(__id," not in plan

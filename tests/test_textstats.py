@@ -389,3 +389,60 @@ def test_repetition_stats_invariants_random(spark):
         ppm = (n_g - n_d) * 1_000_000 // n_g if n_g else 0
         assert got[doc_id] == (n_g, n_d, ppm), doc_id
         assert 0 <= got[doc_id][2] < 1_000_000
+
+
+@pytest.mark.spark
+def test_densify_ids_string_order(spark):
+    """Dense ids follow id SORT order (string order, not insertion or
+    numeric order), 0..n-1 consecutive, across multiple range
+    partitions."""
+    from rsoup_spark.ops.textstats import densify_ids
+
+    ids = [f"u{i:04d}" if i % 3 else f"b{i}" for i in range(500)]
+    df = spark.createDataFrame([(s, s) for s in ids],
+                               "sid string, payload string")
+    got = {
+        r["sid"]: r["dense_id"]
+        for r in densify_ids(df, id_col="sid", n_partitions=7).collect()
+    }
+    want = {s: i for i, s in enumerate(sorted(ids))}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_densify_then_pack_string_corpus(spark):
+    """pack_chunks over a string-id corpus via densify_ids equals the
+    pack over the same corpus with the equivalent hand-built dense
+    ids -- closing pack's 'numeric id_col required' gap."""
+    from rsoup_spark.ops.textstats import (
+        chunk_documents,
+        densify_ids,
+        pack_chunks,
+    )
+
+    rows = [
+        (f"doc-{chr(ord('z') - i)}", " ".join(f"w{j}" for j in range(5 + i)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "sid string, text string")
+    chunks = chunk_documents(docs, chunk_tokens=4, overlap=1,
+                             id_col="sid")
+    dense_chunks = densify_ids(chunks, id_col="doc_id",
+                               out_col="dense_id")
+    got = {
+        (r["dense_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_chunks(dense_chunks, budget_tokens=10,
+                             id_col="dense_id").collect()
+    }
+    # hand-built reference: same chunks keyed by rank of sid
+    rank = {s: i for i, s in enumerate(sorted(r[0] for r in rows))}
+    ref_rows = sorted(
+        (rank[r["doc_id"]], r["chunk_id"], r["n_tokens"])
+        for r in chunks.collect()
+    )
+    before = 0
+    want = {}
+    for did, cid, n in ref_rows:
+        want[(did, cid)] = (before // 10, before % 10)
+        before += n
+    assert got == want
