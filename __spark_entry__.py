@@ -954,6 +954,51 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the dataflow: synthesize one gradient
+    grayscale PNG per doc (8x16, row y = (doc_id + y) % 256) with the
+    pure-Python encoder, then decode it back pixel-by-pixel through
+    image_pixel_stats (stdlib-zlib + numpy five-filter PNG codec,
+    ops/png.py).  The gradient makes the per-channel mean an integer
+    function of doc_id the oracle computes analytically -- so the gate
+    is green only if the decoded pixels are exactly right."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import image_pixel_stats
+    from rsoup_spark.ops.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": [
+                        encode_png(
+                            ((np.arange(16)[:, None] + i) % 256)
+                            .astype(np.uint8)
+                            .repeat(8, axis=1)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    out = image_pixel_stats(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.col("mean_ppm")[0].cast("long").alias("mean_ppm0"),
+    )
+
+
 def q_ext_text_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-page rendered text via the legacy get_text v1 algorithm
     (reference text/mod.rs:2) -- closes the one remaining API-surface
@@ -1193,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "multimodal_pixel_stats": q_multimodal_pixel_stats,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -1820,6 +1866,17 @@ WITH t AS (
 SELECT tr.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM tr JOIN e USING (gram)
 GROUP BY tr.doc_id
+""",
+        # the engine decodes actual PNG bytes; the oracle computes the
+        # same pixel means analytically from the gradient definition
+        # (row y of doc d is the constant (d + y) % 256 over 8 cols)
+        "multimodal_pixel_stats": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       8 AS width, 16 AS height, 1 AS channels,
+       CAST((SELECT SUM((d.doc_id + g.range) % 256)
+             FROM range(0, 16) g) * 8 * 1000000
+            // (16 * 8 * 255) AS BIGINT) AS mean_ppm0
+FROM documents d
 """,
         "densify_ids": """
 SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid,

@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, batch shape, partitioning, UDF
-signatures) is real and tested; the actual codec calls are stubbed
-behind ``NotImplementedError`` / a deterministic fake because no
-image/audio libraries exist in this container.  Swapping the stub for
-Pillow/torchaudio is a one-function change -- the dataflow does not
-move.
+signatures) is real and tested, and PNG image decode is real too
+(pure stdlib-zlib + numpy codec in ``ops.png``; exercised end-to-end
+by :func:`image_pixel_stats`).  JPEG/audio/video decode stays stubbed
+behind ``NotImplementedError`` / a deterministic fake because those
+need codec libraries this container does not ship.  Swapping the stub
+for Pillow/torchaudio is a one-function change -- the dataflow does
+not move.
 
 Scale notes: media bytes ride in ``binary`` columns bounded by
 ``arrow.maxBytesPerBatch``; feature extraction is ``mapInPandas`` so a
@@ -57,11 +59,21 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Real decode is environment-gated: no imaging library ships in
-    this container.  STUB -- replace with PIL.Image.open when present."""
+    """Decode image bytes to a uint8 pixel array.
+
+    PNG decodes natively (stdlib zlib + numpy five-filter unfilter,
+    ``ops.png``): 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced.
+    Everything else stays environment-gated -- JPEG needs real DCT /
+    Huffman tables and video needs a codec library, neither of which
+    ships in this container; swapping in Pillow/ffmpeg is a
+    one-function change, the dataflow does not move."""
+    from .png import PNG_MAGIC, decode_png
+
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
     raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "not available in this environment"
+        "non-PNG image decoding requires a codec library (e.g. Pillow "
+        "for JPEG); not available in this environment"
     )
 
 
@@ -165,6 +177,65 @@ def media_fingerprint(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "kind", "data").mapInPandas(
         run, FINGERPRINT_SCHEMA
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        # integer ppm of the per-channel mean (mean/255 * 1e6, floor):
+        # exact across engines, no float comparisons
+        StructField("mean_ppm", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode image blobs and emit per-channel pixel statistics --
+    the first operator whose output depends on actual pixel values,
+    proving the decode step participates in the Spark dataflow (same
+    Arrow-batched mapInPandas shape as :func:`extract_features`).
+
+    Non-decodable blobs (non-PNG, unsupported PNG flavors) are
+    dropped; a production pipeline would route them to a quarantine
+    sink instead of failing the batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    img = decode_image(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, ch = img.shape
+                sums = img.astype(np.int64).sum(axis=(0, 1))
+                n = h * w
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "mean_ppm": [
+                            int(s) * 1_000_000 // (n * 255) for s in sums
+                        ],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "mean_ppm"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
     )
 
 
