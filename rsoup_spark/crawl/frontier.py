@@ -89,6 +89,13 @@ class CrawlConfig:
     # 32 tiny files per table otherwise); None = natural partitioning
     # (production: let output committers handle file sizing)
     checkpoint_coalesce: int | None = 8
+    # overlap the round's checkpoint writes (order/frontier/seen/
+    # shards/lineage -> independent paths) with each other and with
+    # the metrics job by submitting them as concurrent Spark jobs;
+    # the manifest -- the round's atomic commit point -- is still
+    # written only after every table write has completed, so the
+    # crash-consistency contract is unchanged.  1 = sequential.
+    checkpoint_threads: int = 4
 
 
 def _canon_links(links: DataFrame) -> DataFrame:
@@ -333,6 +340,32 @@ class CrawlEngine:
         seen = self._read_seen(r - 1)
         shards = self.store.read(r - 1, "shards")
 
+        # concurrent checkpoint writer: each state table lands on its
+        # own path, so the writes only serialize on cluster capacity,
+        # not on each other; _flush() joins them all (re-raising any
+        # failure) and MUST run before write_manifest -- the manifest
+        # commits the round, so it cannot be allowed to observe a
+        # partially-written table on crash.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = (
+            ThreadPoolExecutor(max_workers=cfg.checkpoint_threads)
+            if cfg.checkpoint_threads > 1
+            else None
+        )
+        pending: list = []
+
+        def _submit(df: DataFrame, name: str) -> None:
+            if pool is None:
+                self._write(df, r, name)
+            else:
+                pending.append(pool.submit(self._write, df, r, name))
+
+        def _flush() -> None:
+            for fut in pending:
+                fut.result()
+            pending.clear()
+
         # 1. robots gate (broadcast join; parse_url stays in codegen).
         # RFC 9309 longest-match-wins between allow and disallow with
         # allow winning ties ("least restrictive rule"): blocked iff
@@ -409,7 +442,7 @@ class CrawlEngine:
             "depth",
             "score",
         )
-        self._write(order_df, r, "order")
+        _submit(order_df, "order")  # overlaps with fetch/harvest below
 
         # 4.-5. fetch + harvest + canonicalize (one fused Python pass)
         from ..operators.extract import harvest_canonical_links
@@ -532,7 +565,7 @@ class CrawlEngine:
                 F.coalesce(F.col("pr_scaled").cast("double"), F.lit(base))
                 .alias("score"),
             )
-        self._write(next_frontier, r, "frontier")
+        _submit(next_frontier, "frontier")
         # append-only seen: only this round's new urls are written
         new_seen = new_urls.select("url")
         resched_cache = None
@@ -561,8 +594,8 @@ class CrawlEngine:
                 _, new_shards, resched_cache = self._filter_update(
                     resched_cand, new_shards
                 )
-        self._write(new_seen, r, "seen")
-        self._write(new_shards, r, "shards")
+        _submit(new_seen, "seen")
+        _submit(new_shards, "shards")
 
         # per-partition lineage: which partition produced how many
         # scheduled rows (north_rule: per-partition lineage + metrics)
@@ -571,10 +604,12 @@ class CrawlEngine:
             .agg(F.count("*").alias("urls_scheduled"))
             .withColumn("round", F.lit(r))
         )
-        self._write(lineage, r, "lineage")
+        _submit(lineage, "lineage")
 
         # one metrics job: every branch is persisted, so this is seven
-        # single-row aggregates over caches instead of seven actions
+        # single-row aggregates over caches instead of seven actions;
+        # it runs on the driver thread while the checkpoint writes are
+        # still in flight on the pool
         def _c(name: str, df: DataFrame) -> DataFrame:
             return df.agg(F.count("*").cast("long").alias("v")).select(
                 F.lit(name).alias("k"), "v"
@@ -592,6 +627,14 @@ class CrawlEngine:
             .unionByName(_c("new", new_urls))
         )
         vals = {row["k"]: row["v"] for row in counts_df.collect()}  # bounded
+
+        # join every in-flight checkpoint write BEFORE the manifest
+        # commit (and before the expiry branch below re-reads the
+        # just-written frontier table); wall_ms therefore still
+        # covers the full round including checkpoint I/O
+        _flush()
+        if pool is not None:
+            pool.shutdown()
 
         metrics = {
             "round": r,

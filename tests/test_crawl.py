@@ -179,3 +179,58 @@ def test_bloom_no_false_negatives():
     other = rng.randint(-(2**62), 2**62, size=2000, dtype=np.int64)
     fp = _bit_test(blob, probe_positions(other, 5, m_bits)).mean()
     assert fp < 0.05
+
+
+@pytest.mark.spark
+def test_manifest_commits_after_all_parallel_writes(spark, web):
+    """checkpoint_threads > 1 overlaps the per-round state writes; the
+    crash-consistency contract is that the manifest (the round's
+    atomic commit point) is written only after every table write has
+    COMPLETED.  A recording store wrapper pins that ordering, and the
+    parallel run must stay byte-identical to the sequential one on
+    crawl order + seen set."""
+    from rsoup_spark.crawl.statestore import ParquetStateStore
+
+    events: list[tuple] = []
+
+    class RecordingStore(ParquetStateStore):
+        def write(self, df, round_no, name, mode="overwrite"):
+            super().write(df, round_no, name, mode)
+            events.append(("write", round_no, name))  # append is atomic
+
+        def write_manifest(self, round_no, done, snapshot=None,
+                           horizon=None):
+            events.append(("manifest", round_no))
+            super().write_manifest(round_no, done, snapshot, horizon)
+
+    cfg = CrawlConfig(batch_size=24, round_seconds=10.0, max_rounds=4,
+                      n_shards=16, m_bits=1 << 18, checkpoint_threads=4)
+    tmp = tempfile.mkdtemp(prefix="crawl_par_")
+    tmp_seq = tempfile.mkdtemp(prefix="crawl_seq_")
+    try:
+        pages, robots, seeds = web
+        store = RecordingStore(spark, tmp, coalesce=cfg.checkpoint_coalesce)
+        eng = CrawlEngine(spark, pages, robots, tmp, cfg, store=store)
+        eng.run(seeds=seeds)
+
+        # every round's manifest event strictly follows that round's
+        # order/frontier/seen/shards/lineage write completions
+        for r in range(1, 5):
+            names = {"order", "frontier", "seen", "shards", "lineage"}
+            idx_manifest = events.index(("manifest", r))
+            done_before = {
+                e[2] for e in events[:idx_manifest]
+                if e[0] == "write" and e[1] == r
+            }
+            assert names <= done_before, (r, done_before)
+
+        seq_cfg = CrawlConfig(batch_size=24, round_seconds=10.0,
+                              max_rounds=4, n_shards=16, m_bits=1 << 18,
+                              checkpoint_threads=1)
+        seq = CrawlEngine(spark, pages, robots, tmp_seq, seq_cfg)
+        seq.run(seeds=seeds)
+        assert eng.crawl_order() == seq.crawl_order()
+        assert eng.seen_set() == seq.seen_set()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp_seq, ignore_errors=True)
