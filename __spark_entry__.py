@@ -954,6 +954,53 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-media decode in the dataflow: synthesize one
+    3-frame animated GIF per doc (8x8 solid frames, frame k of doc d
+    painted with gray value (d*5 + k*17) % 256, 100 ms delays) with
+    the pure-Python LZW encoder, then decode every composited frame
+    back through gif_frame_stats (ops/gif.py).  Solid frames make the
+    per-frame RGB mean an integer function of (doc_id, k) the oracle
+    computes analytically -- green only if LZW decode, palette lookup,
+    compositing, and delay bookkeeping are all exactly right."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import gif_frame_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import encode_gif
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": [
+                        encode_gif(
+                            [
+                                np.full(
+                                    (8, 8), (i * 5 + k * 17) % 256,
+                                    np.uint8,
+                                )
+                                for k in range(3)
+                            ],
+                            gray,
+                            delays_ms=[100, 100, 100],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return gif_frame_stats(media)
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode in the dataflow: synthesize one gradient
     grayscale PNG per doc (8x16, row y = (doc_id + y) % 256) with the
@@ -1239,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -1877,6 +1925,19 @@ SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
              FROM range(0, 16) g) * 8 * 1000000
             // (16 * 8 * 255) AS BIGINT) AS mean_ppm0
 FROM documents d
+""",
+        # the engine LZW-decodes actual animated GIF bytes; the oracle
+        # computes the same per-frame RGB means analytically from the
+        # solid-frame definition (frame k of doc d = gray (d*5+k*17)%256,
+        # 100 ms per frame, t_ms = presentation start offset)
+        "multimodal_gif_frames": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       CAST(k.range AS INT) AS frame_idx,
+       CAST(k.range * 100 AS INT) AS t_ms,
+       8 AS width, 8 AS height,
+       CAST(((d.doc_id * 5 + k.range * 17) % 256) * 1000000 // 255
+            AS BIGINT) AS mean_rgb_ppm
+FROM documents d, range(0, 3) k
 """,
         "densify_ids": """
 SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid,

@@ -59,21 +59,25 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Decode image bytes to a uint8 pixel array.
+    """Decode image bytes to a uint8/uint16 pixel array.
 
     PNG decodes natively (stdlib zlib + numpy five-filter unfilter,
-    ``ops.png``): 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced.
+    ``ops.png``): every static flavor -- bit depths 1-16, gray /
+    palette(+tRNS) / RGB / gray+alpha / RGBA, none + Adam7 interlace.
     Everything else stays environment-gated -- JPEG needs real DCT /
     Huffman tables and video needs a codec library, neither of which
     ships in this container; swapping in Pillow/ffmpeg is a
     one-function change, the dataflow does not move."""
+    from .gif import GIF_MAGICS, decode_gif_first
     from .png import PNG_MAGIC, decode_png
 
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
+    if data[:6] in GIF_MAGICS:
+        return decode_gif_first(data)
     raise NotImplementedError(
-        "non-PNG image decoding requires a codec library (e.g. Pillow "
-        "for JPEG); not available in this environment"
+        "non-PNG/GIF image decoding requires a codec library (e.g. "
+        "Pillow for JPEG); not available in this environment"
     )
 
 
@@ -215,6 +219,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 if img.ndim == 2:
                     img = img[:, :, None]
                 h, w, ch = img.shape
+                maxv = 65535 if img.dtype == np.uint16 else 255
                 sums = img.astype(np.int64).sum(axis=(0, 1))
                 n = h * w
                 rows.append(
@@ -224,7 +229,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                         "height": h,
                         "channels": ch,
                         "mean_ppm": [
-                            int(s) * 1_000_000 // (n * 255) for s in sums
+                            int(s) * 1_000_000 // (n * maxv) for s in sums
                         ],
                     }
                 )
@@ -237,6 +242,59 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         run, PIXEL_STATS_SCHEMA
     )
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Decode ANIMATED media (GIF -- the container's one natively
+    decodable timed format, ``ops.gif``) and emit one row per
+    composited frame: presentation start time (cumulative delays) and
+    the integer mean over the RGB channels in ppm of full scale.
+    This is the real counterpart of :func:`frame_sample_plan`: the
+    plan says which timestamps to decode, this actually decodes them.
+
+    Same Arrow-batched mapInPandas shape as the other media passes;
+    non-GIF / undecodable blobs are dropped (quarantine-sink
+    semantics), never fatal.
+    """
+    schema = StructType([
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_rgb_ppm", LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    frames = decode_gif(bytes(blob))
+                except ValueError:
+                    continue
+                t = 0
+                for k, (frame, delay) in enumerate(frames):
+                    h, w = frame.shape[:2]
+                    s = int(frame[:, :, :3].astype(np.int64).sum())
+                    rows.append({
+                        "media_id": mid,
+                        "frame_idx": k,
+                        "t_ms": t,
+                        "width": w,
+                        "height": h,
+                        "mean_rgb_ppm": s * 1_000_000 // (h * w * 3 * 255),
+                    })
+                    t += delay
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "t_ms", "width",
+                         "height", "mean_rgb_ppm"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:

@@ -199,37 +199,117 @@ class TestPngCodec:
         got = decode_png(encode_png(img))
         assert got.tolist() == img.tolist()
 
-    def test_unsupported_flavors_named(self):
+    def test_malformed_flavors_named(self):
         import struct
         import zlib
 
-        import numpy as np
         import pytest as pt
 
         from rsoup_spark.ops.multimodal import decode_image
-        from rsoup_spark.ops.png import PNG_MAGIC, decode_png
+        from rsoup_spark.ops.png import PNG_MAGIC, decode_png, png_chunk
 
         with pt.raises(ValueError, match="magic"):
             decode_png(b"JFIFnotapng")
         with pt.raises(NotImplementedError, match="non-PNG"):
             decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
-        def chunk(t, d):
-            return (struct.pack(">I", len(d)) + t + d
-                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
-
         for depth, color, inter, msg in (
-            (16, 0, 0, "16-bit"),
-            (8, 3, 0, "palette"),
-            (8, 0, 1, "Adam7"),
+            (8, 3, 0, "PLTE"),        # palette without a palette chunk
+            (8, 7, 0, "color type"),  # invalid color type
+            (16, 3, 0, "depth"),      # 16-bit palette is not valid PNG
+            (8, 0, 2, "interlace"),   # invalid interlace method
         ):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0,
                                inter)
-            blob = (PNG_MAGIC + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
-                    + chunk(b"IEND", b""))
-            with pt.raises(NotImplementedError, match=msg):
+            blob = (PNG_MAGIC + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                    + png_chunk(b"IEND", b""))
+            with pt.raises(ValueError, match=msg):
                 decode_png(blob)
+
+    def test_palette_png_decodes_with_and_without_trns(self):
+        import numpy as np
+
+        from rsoup_spark.ops.png import decode_png, encode_png_indexed
+
+        pal = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8
+        )
+        rng = np.random.default_rng(3)
+        for depth in (1, 2, 4, 8):
+            n = min(1 << depth, 4)
+            idx = rng.integers(0, n, size=(5, 7), dtype=np.uint8)
+            got = decode_png(encode_png_indexed(idx, pal[:n], depth=depth))
+            assert got.shape == (5, 7, 3)
+            assert (got == pal[:n][idx]).all(), depth
+        # tRNS: first two entries translucent, rest default opaque
+        idx = rng.integers(0, 4, size=(4, 4), dtype=np.uint8)
+        got = decode_png(
+            encode_png_indexed(idx, pal, trns=bytes([0, 128]), depth=8)
+        )
+        assert got.shape == (4, 4, 4)
+        assert (got[:, :, :3] == pal[idx]).all()
+        alpha = np.array([0, 128, 255, 255], np.uint8)
+        assert (got[:, :, 3] == alpha[idx]).all()
+
+    def test_16bit_and_subbyte_gray_roundtrip(self):
+        import numpy as np
+
+        from rsoup_spark.ops.png import decode_png, encode_png
+
+        rng = np.random.default_rng(5)
+        for ch in (1, 3, 4):
+            shape = (6, 5) if ch == 1 else (6, 5, ch)
+            img = rng.integers(0, 1 << 16, size=shape, dtype=np.uint16)
+            got = decode_png(encode_png(img))
+            assert got.dtype == np.uint16
+            assert got.shape == img.shape and (got == img).all(), ch
+        # sub-byte grayscale scales exactly to 0..255
+        from rsoup_spark.ops.png import PNG_MAGIC, png_chunk
+        import struct
+        import zlib
+
+        bits = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1]], np.uint8)  # w=9
+        packed = np.packbits(bits, axis=1)
+        ihdr = struct.pack(">IIBBBBB", 9, 1, 1, 0, 0, 0, 0)
+        blob = (PNG_MAGIC + png_chunk(b"IHDR", ihdr)
+                + png_chunk(b"IDAT",
+                            zlib.compress(b"\x00" + packed.tobytes()))
+                + png_chunk(b"IEND", b""))
+        assert decode_png(blob).tolist() == [
+            [255, 0, 255, 0, 255, 255, 0, 0, 255]
+        ]
+
+    def test_adam7_interlaced_decode(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from rsoup_spark.ops.png import PNG_MAGIC, decode_png, png_chunk
+        from rsoup_spark.ops.png import _ADAM7
+
+        rng = np.random.default_rng(9)
+        for h, w, ch in ((9, 10, 3), (8, 8, 1), (3, 2, 4), (1, 1, 1)):
+            shape = (h, w) if ch == 1 else (h, w, ch)
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            a = img if img.ndim == 3 else img[:, :, None]
+            raw = b""
+            for x0, y0, dx, dy in _ADAM7:
+                sub = a[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                raw += b"".join(
+                    b"\x00" + sub[y].tobytes()
+                    for y in range(sub.shape[0])
+                )
+            color = {1: 0, 3: 2, 4: 6}[ch]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+            blob = (PNG_MAGIC + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"IDAT", zlib.compress(raw))
+                    + png_chunk(b"IEND", b""))
+            got = decode_png(blob)
+            assert got.shape == img.shape and (got == img).all(), (h, w, ch)
 
     @pytest.mark.spark
     def test_image_pixel_stats_real_decode_in_dataflow(self, spark):
@@ -268,3 +348,157 @@ class TestPngCodec:
         # byte-level passes accept the same real blobs
         assert extract_features(media).count() == 3
         assert media_fingerprint(media).count() == 3
+
+
+class TestGifCodec:
+    """Pure-Python GIF LZW codec (ops/gif.py): roundtrip, animation
+    compositing, transparency, disposal, interlace, 256-color."""
+
+    def test_single_frame_roundtrip(self):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import decode_gif, encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+             [10, 20, 30]], np.uint8,
+        )
+        idx = np.random.default_rng(2).integers(
+            0, 5, size=(7, 9), dtype=np.uint8
+        )
+        frames = decode_gif(encode_gif([idx], pal))
+        assert len(frames) == 1
+        f, d = frames[0]
+        assert f.shape == (7, 9, 4) and d == 0
+        assert (f[:, :, :3] == pal[idx]).all()
+        assert (f[:, :, 3] == 255).all()
+
+    def test_animation_delays_and_frames(self):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import decode_gif, encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [1, 2, 3], [9, 9, 9], [200, 100, 50]], np.uint8
+        )
+        fr = [np.full((4, 4), v, np.uint8) for v in (0, 2, 3)]
+        frames = decode_gif(
+            encode_gif(fr, pal, delays_ms=[100, 250, 40])
+        )
+        assert [d for _, d in frames] == [100, 250, 40]
+        for (got, _), idx in zip(frames, fr):
+            assert (got[:, :, :3] == pal[idx]).all()
+
+    def test_transparency_composites_over_previous_frame(self):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import decode_gif, encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        base = np.full((3, 3), 2, np.uint8)
+        over = np.array([[1, 3, 1], [3, 1, 3], [1, 1, 1]], np.uint8)
+        frames = decode_gif(encode_gif([base, over], pal, transparent=1))
+        want = pal[np.where(over == 1, base, over)]
+        assert (frames[1][0][:, :, :3] == want).all()
+
+    def test_disposal_restore_background_then_repaint(self):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import decode_gif, encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        base = np.full((3, 3), 2, np.uint8)
+        over = np.array([[1, 3, 1], [3, 1, 3], [1, 1, 1]], np.uint8)
+        frames = decode_gif(
+            encode_gif([base, over, base], pal, transparent=1,
+                       disposals=[0, 2, 0])
+        )
+        assert (frames[2][0][:, :, :3] == pal[base]).all()
+        assert (frames[2][0][:, :, 3] == 255).all()
+
+    def test_256_color_grayscale_and_interlace(self):
+        import numpy as np
+
+        from rsoup_spark.ops.gif import (
+            _INTERLACE_PASSES,
+            decode_gif_first,
+            encode_gif,
+        )
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        idx = np.random.default_rng(4).integers(
+            0, 256, size=(33, 41), dtype=np.uint8
+        )
+        f = decode_gif_first(encode_gif([idx], gray))
+        assert (f[:, :, 0] == idx).all() and (f[:, :, 2] == idx).all()
+
+        # hand-build an interlaced frame: rows permuted into pass order
+        blob = bytearray(encode_gif([idx], gray))
+        # rebuild via encoder internals instead: permute rows, set the
+        # interlace flag, and expect the original image back
+        from rsoup_spark.ops.gif import _lzw_encode_literal
+        import struct
+
+        h, w = idx.shape
+        order = [
+            y for start, step in _INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        permuted = idx[order]
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+        out += gray.tobytes()
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        out += bytes([8])
+        lzw = _lzw_encode_literal(8, permuted)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        got = decode_gif_first(bytes(out))
+        assert (got[:, :, 0] == idx).all()
+
+    def test_malformed_named(self):
+        import pytest as pt
+
+        from rsoup_spark.ops.gif import decode_gif
+
+        with pt.raises(ValueError, match="magic"):
+            decode_gif(b"PNGnotagif")
+        with pt.raises(ValueError, match="no image data"):
+            decode_gif(b"GIF89a" + b"\x02\x00\x02\x00\x00\x00\x00\x3b")
+
+    @pytest.mark.spark
+    def test_gif_frame_stats_dataflow(self, spark):
+        """Real animated GIFs flow binary-column -> Arrow batch ->
+        LZW decode -> per-frame stats; undecodable blobs dropped."""
+        import numpy as np
+
+        from rsoup_spark.ops.gif import encode_gif
+        from rsoup_spark.ops.multimodal import gif_frame_stats
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        anim = encode_gif(
+            [np.full((4, 6), v, np.uint8) for v in (10, 20, 30)],
+            gray, delays_ms=[50, 70, 90],
+        )
+        rows = [
+            ("anim", bytearray(anim)),
+            ("junk", bytearray(b"NOTAGIF")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id string, data binary"
+        )
+        got = sorted(
+            (r["frame_idx"], r["t_ms"], r["mean_rgb_ppm"])
+            for r in gif_frame_stats(media).collect()
+        )
+        want = [
+            (k, t, v * 1_000_000 // 255)
+            for k, t, v in ((0, 0, 10), (1, 50, 20), (2, 120, 30))
+        ]
+        assert got == want
