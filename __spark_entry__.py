@@ -1001,6 +1001,85 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_stats(media)
 
 
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the dataflow: one 8x8 constant
+    grayscale JPEG per doc (value doc_id % 256) encoded at quality 100
+    -- where the quant tables are all ones and a constant block has
+    zero AC energy, so Huffman + IDCT round-trip bit-exactly -- then
+    decoded back through image_pixel_stats (ops/jpeg.py).  The oracle
+    computes the mean analytically; any entropy-decode or IDCT error
+    shifts the integer mean and goes red."""
+    import pandas as pd
+
+    from rsoup_spark.ops.jpeg import encode_jpeg
+    from rsoup_spark.ops.multimodal import image_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": [
+                        encode_jpeg(
+                            np.full((8, 8), i % 256, np.uint8),
+                            quality=100,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return image_pixel_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.col("mean_ppm")[0].cast("long").alias("mean_ppm0"),
+    )
+
+
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode in the dataflow: one 100 ms square-wave
+    WAV per doc (amplitude (doc_id % 100) * 300 at 8 kHz/16-bit,
+    alternating +A/-A so the mean absolute amplitude is exactly A),
+    decoded back through audio_stats (ops/wav.py).  The oracle
+    computes rate/duration/amplitude analytically."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import audio_stats
+    from rsoup_spark.ops.wav import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        wave = np.empty(800, np.int32)
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            blobs = []
+            for i in ids:
+                amp = (i % 100) * 300
+                wave[0::2] = amp
+                wave[1::2] = -amp
+                blobs.append(encode_wav(wave, rate=8000, bits=16))
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": blobs,
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return audio_stats(media)
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode in the dataflow: synthesize one gradient
     grayscale PNG per doc (8x16, row y = (doc_id + y) % 256) with the
@@ -1287,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
         "multimodal_gif_frames": q_multimodal_gif_frames,
+        "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -1930,6 +2011,24 @@ FROM documents d
         # computes the same per-frame RGB means analytically from the
         # solid-frame definition (frame k of doc d = gray (d*5+k*17)%256,
         # 100 ms per frame, t_ms = presentation start offset)
+        # square-wave PCM at amplitude A has mean |sample| exactly A;
+        # the engine decodes real RIFF/WAV bytes, the oracle is analytic
+        "multimodal_audio_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       8000 AS sample_rate, 800 AS n_samples, 1 AS channels,
+       100 AS duration_ms,
+       CAST((doc_id % 100) * 300 * 1000000 // 32767 AS BIGINT)
+         AS mean_abs_ppm
+FROM documents
+""",
+        # constant 8x8 gray at q100 round-trips bit-exactly through
+        # the baseline JPEG codec, so the decoded mean is analytic
+        "multimodal_jpeg_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       8 AS width, 8 AS height, 1 AS channels,
+       CAST((doc_id % 256) * 1000000 // 255 AS BIGINT) AS mean_ppm0
+FROM documents
+""",
         "multimodal_gif_frames": """
 SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
        CAST(k.range AS INT) AS frame_idx,

@@ -61,23 +61,32 @@ FEATURE_SCHEMA = StructType(
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode image bytes to a uint8/uint16 pixel array.
 
-    PNG decodes natively (stdlib zlib + numpy five-filter unfilter,
-    ``ops.png``): every static flavor -- bit depths 1-16, gray /
-    palette(+tRNS) / RGB / gray+alpha / RGBA, none + Adam7 interlace.
-    Everything else stays environment-gated -- JPEG needs real DCT /
-    Huffman tables and video needs a codec library, neither of which
-    ships in this container; swapping in Pillow/ffmpeg is a
-    one-function change, the dataflow does not move."""
+    The three dominant web image formats decode natively, pure
+    Python + numpy:
+
+    * PNG (``ops.png``): every static flavor -- bit depths 1-16,
+      gray / palette(+tRNS) / RGB / gray+alpha / RGBA, none + Adam7;
+    * GIF (``ops.gif``): full LZW, first composited frame (RGBA);
+    * baseline JPEG (``ops.jpeg``): Huffman + IDCT + 4:2:0/4:2:2
+      upsampling + restart markers (progressive raises, named).
+
+    Everything else (WebP/AVIF, real video) stays environment-gated --
+    they need codec libraries this container doesn't ship; swapping in
+    Pillow/ffmpeg is a one-function change, the dataflow doesn't move.
+    """
     from .gif import GIF_MAGICS, decode_gif_first
+    from .jpeg import decode_jpeg
     from .png import PNG_MAGIC, decode_png
 
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
     if data[:6] in GIF_MAGICS:
         return decode_gif_first(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "non-PNG/GIF image decoding requires a codec library (e.g. "
-        "Pillow for JPEG); not available in this environment"
+        "non-PNG/GIF/JPEG image decoding requires a codec library "
+        "(e.g. Pillow for WebP); not available in this environment"
     )
 
 
@@ -242,6 +251,58 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         run, PIXEL_STATS_SCHEMA
     )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode PCM WAV blobs (``ops.wav``) and emit per-clip sample
+    statistics: rate, sample/channel counts, integer duration, and the
+    mean absolute amplitude in ppm of full scale -- the audio analogue
+    of :func:`image_pixel_stats`, proving the decode step operates on
+    real samples inside the Arrow-batched dataflow.  Undecodable or
+    compressed blobs are dropped (quarantine-sink semantics)."""
+    schema = StructType([
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("duration_ms", IntegerType(), False),
+        StructField("mean_abs_ppm", LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    samples, rate, bits = decode_wav(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                n, nch = samples.shape
+                if samples.dtype == np.float64:
+                    total = float(np.abs(samples).sum())
+                    ppm = int(total * 1_000_000 // (n * nch)) if n else 0
+                else:
+                    full = (1 << (bits - 1)) - 1
+                    total = int(np.abs(samples.astype(np.int64)).sum())
+                    ppm = total * 1_000_000 // (n * nch * full) if n \
+                        else 0
+                rows.append({
+                    "media_id": mid,
+                    "sample_rate": rate,
+                    "n_samples": n,
+                    "channels": nch,
+                    "duration_ms": n * 1000 // rate if rate else 0,
+                    "mean_abs_ppm": ppm,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "channels", "duration_ms", "mean_abs_ppm"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
 
 
 def gif_frame_stats(media: DataFrame) -> DataFrame:

@@ -210,8 +210,11 @@ class TestPngCodec:
 
         with pt.raises(ValueError, match="magic"):
             decode_png(b"JFIFnotapng")
-        with pt.raises(NotImplementedError, match="non-PNG"):
+        # JPEG now decodes; a truncated one is malformed, not gated
+        with pt.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        with pt.raises(NotImplementedError, match="non-PNG"):
+            decode_image(b"RIFF....WEBPVP8 ")
 
         for depth, color, inter, msg in (
             (8, 3, 0, "PLTE"),        # palette without a palette chunk
@@ -502,3 +505,238 @@ class TestGifCodec:
             for k, t, v in ((0, 0, 10), (1, 50, 20), (2, 120, 30))
         ]
         assert got == want
+
+
+class TestJpegCodec:
+    """Pure-Python baseline JPEG codec (ops/jpeg.py): exactness where
+    the math allows it, bounded quantization error elsewhere, and the
+    decoder's MCU / 4:2:0 upsampling / restart paths."""
+
+    def test_constant_blocks_gray_q100_exact(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.zeros((16, 24), np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    10 + by * 50 + bx * 30
+                )
+        got = decode_jpeg(encode_jpeg(img, quality=100))
+        # q100 quant steps are all 1 and AC of a constant block is 0:
+        # the roundtrip is bit-exact, no tolerance
+        assert got.shape == img.shape and (got == img).all()
+
+    def test_gradient_and_noise_error_bounds(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        x = np.linspace(0, 255, 64)
+        smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(smooth, quality=95))
+        assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 4
+
+        rng = np.random.default_rng(1)
+        noise = rng.integers(0, 256, (24, 40, 3), np.uint8)
+        got = decode_jpeg(encode_jpeg(noise, quality=90))
+        assert np.abs(got.astype(int) - noise.astype(int)).mean() < 20
+
+    def test_rgb_constant_blocks_q100(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:8, :8] = [200, 30, 60]
+        img[:8, 8:] = [10, 250, 90]
+        img[8:, :8] = [5, 5, 128]
+        img[8:, 8:] = [128, 128, 128]
+        got = decode_jpeg(encode_jpeg(img, quality=100))
+        # only YCbCr<->RGB float roundoff remains
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+    def test_non_multiple_of_8_dims(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (13, 11), np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=100))
+        assert got.shape == (13, 11)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+    def test_420_subsampling_and_odd_dims(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        x = np.linspace(0, 255, 48)
+        base = np.add.outer(x, np.linspace(0, 255, 56)) / 2
+        img = np.stack(
+            [base, base[::-1], np.full_like(base, 77)], -1
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+        assert got.shape == img.shape
+        assert np.abs(got.astype(int) - img.astype(int)).mean() < 6
+        crop = img[:41, :37]
+        got2 = decode_jpeg(encode_jpeg(crop, quality=92, subsample=True))
+        assert got2.shape == crop.shape
+
+    def test_restart_markers_do_not_change_pixels(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (40, 64, 3), np.uint8)
+        a = decode_jpeg(encode_jpeg(img, quality=90))
+        b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+        assert (a == b).all()
+
+    def test_unsupported_and_malformed_named(self):
+        import numpy as np
+        import pytest as pt
+
+        from rsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        with pt.raises(ValueError, match="SOI"):
+            decode_jpeg(b"nope")
+        with pt.raises(ValueError, match="malformed|SOS"):
+            decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish")
+        blob = bytearray(
+            encode_jpeg(np.zeros((8, 8), np.uint8), quality=90)
+        )
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2
+        with pt.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(blob))
+
+    @pytest.mark.spark
+    def test_jpeg_in_pixel_stats_dataflow(self, spark):
+        """Real JPEG bytes through the Arrow-batched decode pass,
+        beside a PNG and a junk blob."""
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import encode_jpeg
+        from rsoup_spark.ops.multimodal import image_pixel_stats
+        from rsoup_spark.ops.png import encode_png
+
+        jimg = np.full((8, 8), 64, np.uint8)
+        rows = [
+            ("jpg", bytearray(encode_jpeg(jimg, quality=100))),
+            ("png", bytearray(encode_png(jimg))),
+            ("junk", bytearray(b"XXjunk")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id string, data binary"
+        )
+        got = {r["media_id"]: r.asDict()
+               for r in image_pixel_stats(media).collect()}
+        assert set(got) == {"jpg", "png"}
+        want = 64 * 1_000_000 // 255
+        assert got["jpg"]["mean_ppm"] == [want]
+        assert got["png"]["mean_ppm"] == [want]
+
+
+class TestWavCodec:
+    """Pure-Python RIFF/PCM WAV codec (ops/wav.py) + audio_stats."""
+
+    def test_roundtrip_16bit_mono_and_stereo(self):
+        import numpy as np
+
+        from rsoup_spark.ops.wav import decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        mono = rng.integers(-32768, 32768, 500, np.int32)
+        s, rate, bits = decode_wav(encode_wav(mono, 44100))
+        assert (rate, bits) == (44100, 16)
+        assert s.shape == (500, 1) and (s[:, 0] == mono).all()
+
+        stereo = rng.integers(-32768, 32768, (300, 2), np.int32)
+        s, rate, bits = decode_wav(encode_wav(stereo, 16000))
+        assert s.shape == (300, 2) and (s == stereo).all()
+
+    def test_roundtrip_8bit_recentered(self):
+        import numpy as np
+
+        from rsoup_spark.ops.wav import decode_wav, encode_wav
+
+        sig = np.array([-128, -1, 0, 1, 127], np.int32)
+        s, rate, bits = decode_wav(encode_wav(sig, 8000, bits=8))
+        assert bits == 8 and (s[:, 0] == sig).all()
+
+    def test_24bit_and_float_decode(self):
+        import struct
+
+        import numpy as np
+
+        from rsoup_spark.ops.wav import decode_wav
+
+        # hand-build a 24-bit PCM WAV with known samples
+        vals = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+        body = b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 +
+                                     len(body))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+        s, rate, bits = decode_wav(wav)
+        assert bits == 24 and s[:, 0].tolist() == vals
+
+        fl = np.array([-1.0, -0.5, 0.0, 0.5, 1.0], np.float32)
+        fmt = struct.pack("<HHIIHH", 3, 1, 22050, 22050 * 4, 4, 32)
+        body = fl.astype("<f4").tobytes()
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 +
+                                     len(body))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+        s, rate, bits = decode_wav(wav)
+        assert s.dtype == np.float64
+        assert s[:, 0].tolist() == fl.astype(np.float64).tolist()
+
+    def test_malformed_and_compressed_named(self):
+        import struct
+
+        import numpy as np
+        import pytest as pt
+
+        from rsoup_spark.ops.wav import decode_wav, encode_wav
+
+        with pt.raises(ValueError, match="RIFF"):
+            decode_wav(b"OggS not a wav")
+        with pt.raises(ValueError, match="missing fmt"):
+            decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+        blob = bytearray(encode_wav(np.zeros(4, np.int32), 8000))
+        i = blob.find(b"fmt ") + 8
+        blob[i:i + 2] = struct.pack("<H", 85)  # MP3 format tag
+        with pt.raises(NotImplementedError, match="format tag 85"):
+            decode_wav(bytes(blob))
+
+    @pytest.mark.spark
+    def test_audio_stats_dataflow(self, spark):
+        import numpy as np
+
+        from rsoup_spark.ops.multimodal import audio_stats
+        from rsoup_spark.ops.wav import encode_wav
+
+        wave = np.empty(400, np.int32)
+        wave[0::2] = 3000
+        wave[1::2] = -3000
+        rows = [
+            ("sq", bytearray(encode_wav(wave, rate=8000))),
+            ("junk", bytearray(b"NOTWAV")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id string, data binary"
+        )
+        got = {r["media_id"]: r.asDict()
+               for r in audio_stats(media).collect()}
+        assert set(got) == {"sq"}
+        assert got["sq"]["sample_rate"] == 8000
+        assert got["sq"]["duration_ms"] == 50
+        assert got["sq"]["mean_abs_ppm"] == 3000 * 1_000_000 // 32767
