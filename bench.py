@@ -77,6 +77,11 @@ def main() -> None:
         "pack_chunks",
         "multimodal_fingerprint",
         "multimodal_frame_plan",
+        "multimodal_pixel_stats",
+        "multimodal_jpeg_stats",
+        "multimodal_gif_frames",
+        "multimodal_audio_stats",
+        "densify_ids",
         "text_repetition",
         "decontaminate",
         "scrub_pii",

@@ -34,10 +34,6 @@ def main() -> None:
     ap.add_argument("--parts-per-core", type=int, default=4)
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
                     default="bloom")
-    ap.add_argument("--check-fused", action="store_true",
-                    help="also run the legacy two-job filter-then-rank "
-                         "form and assert it schedules the identical "
-                         "URL set (untimed equivalence gate)")
     ap.add_argument("--cuckoo-buckets", type=int, default=1 << 14)
     args = ap.parse_args()
 
@@ -169,89 +165,39 @@ def main() -> None:
         return unseen
 
     def frontier_action():
-        # ONE job for the whole round: the politeness rank runs the
-        # second window over ALL rows with kept-rows-first ordering
-        # (desc("kept")) instead of filtering between the windows.
-        # Kept rows sort ahead of dropped rows within each host, so a
-        # kept row's rank equals its rank among kept rows under the
-        # original (desc score, asc url) order -- semantics identical
-        # to the filter-then-rank form (asserted by --check-fused),
-        # but n_uniq and n_sched come out of a single aggregate: no
-        # persist materialization, no second job's fixed scheduling
-        # cost (the non-scaling term in the N->4N efficiency).
-        unseen = frontier_round()
+        # ONE job for the whole round, with the two-phase politeness
+        # rank left exactly as the engine runs it (pre-rank within
+        # (host, salt), FILTER, then the per-host rank over only
+        # salt*budget survivors -- the filter is what keeps the hot
+        # host's final sort tiny; ranking all rows per host instead
+        # was measured to serialize the 32-core run on one straggler
+        # task).  The unique-URL count rides the same job via the
+        # Observation API instead of a separate persist + count
+        # action, so the second job's fixed scheduling cost (the
+        # non-scaling term in the N->4N efficiency) is still gone.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        unseen = frontier_round().observe(
+            obs, F.count(F.lit(1)).alias("n_uniq")
+        )
         budget = F.coalesce("budget", F.lit(1)) * 10
         w1 = Window.partitionBy("host", "salt").orderBy(
             F.desc("score"), F.asc("url")
         )
         w2 = Window.partitionBy("host").orderBy(
-            F.desc("kept"), F.desc("score"), F.asc("url")
+            F.desc("score"), F.asc("url")
         )
         ranked = (
             unseen.join(F.broadcast(robots), "host", "left")
             .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(8)))
             .withColumn("pre_rank", F.row_number().over(w1))
-            .withColumn("kept", F.col("pre_rank") <= budget)
+            .where(F.col("pre_rank") <= budget)
             .withColumn("rank", F.row_number().over(w2))
-        )
-        row = ranked.agg(
-            F.count("*").alias("n_uniq"),
-            F.count_if(
-                F.col("kept") & (F.col("rank") <= budget)
-            ).alias("n_sched"),
-        ).collect()[0]
-        return int(row["n_sched"]), int(row["n_uniq"])
-
-    if args.check_fused:
-        # untimed: prove the fused single-job rank schedules the exact
-        # same URL set as the legacy filter-then-rank two-job form
-        unseen = frontier_round().persist()
-        budget = F.coalesce("budget", F.lit(1)) * 10
-        w1 = Window.partitionBy("host", "salt").orderBy(
-            F.desc("score"), F.asc("url")
-        )
-        base = (
-            unseen.join(F.broadcast(robots), "host", "left")
-            .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(8)))
-            .withColumn("pre_rank", F.row_number().over(w1))
-        )
-        legacy = (
-            base.where(F.col("pre_rank") <= budget)
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("host").orderBy(
-                        F.desc("score"), F.asc("url")
-                    )
-                ),
-            )
             .where(F.col("rank") <= budget)
-            .select("url")
         )
-        fused = (
-            base.withColumn("kept", F.col("pre_rank") <= budget)
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("host").orderBy(
-                        F.desc("kept"), F.desc("score"), F.asc("url")
-                    )
-                ),
-            )
-            .where(F.col("kept") & (F.col("rank") <= budget))
-            .select("url")
-        )
-        n_legacy = legacy.count()
-        n_sym_diff = (
-            legacy.unionByName(fused)
-            .groupBy("url").agg(F.count("*").alias("c"))
-            .where("c <> 2").count()
-        )
-        unseen.unpersist()
-        assert n_sym_diff == 0, (
-            f"fused rank diverges from legacy on {n_sym_diff} urls"
-        )
-        print(json.dumps({"check_fused": "ok", "scheduled": n_legacy}))
+        n_sched = ranked.count()
+        return n_sched, int(obs.get["n_uniq"])
 
     frontier_runs = []
     n_unique = n_scheduled = 0
