@@ -1125,6 +1125,83 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the dataflow: one MJPEG-AVI clip per doc
+    (2 + doc_id % 3 frames, each an 8x8 constant gray baseline JPEG at
+    quality 100 -- bit-exact, value (doc_id*11 + k*29) % 256 -- at
+    100 ms/frame), demuxed and frame-sampled every 150 ms through
+    video_frame_stats (ops/video.py + ops/jpeg.py).  The oracle
+    replays the sampling grid and per-frame means analytically; any
+    RIFF-parse, frame-timing, or entropy-decode error goes red."""
+    import pandas as pd
+
+    from rsoup_spark.ops.jpeg import encode_jpeg
+    from rsoup_spark.ops.multimodal import video_frame_stats
+    from rsoup_spark.ops.video import mux_avi_mjpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            blobs = []
+            for i in ids:
+                frames = [
+                    encode_jpeg(
+                        np.full((8, 8), (i * 11 + k * 29) % 256, np.uint8),
+                        quality=100,
+                    )
+                    for k in range(2 + i % 3)
+                ]
+                blobs.append(
+                    mux_avi_mjpeg(frames, 8, 8, us_per_frame=100_000)
+                )
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "data": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return video_frame_stats(media, every_ms=150)
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio DSP over real decoded PCM: one 512-sample
+    square-wave WAV per doc (amplitude (doc_id % 100) * 300 + 300,
+    half-period 2^(3 + doc_id % 3) samples), pushed through
+    audio_features (256-sample windows -> RMS ppm, zero crossings,
+    dominant rFFT bin).  Square waves are quantization-exact, so all
+    three features have closed forms the oracle states per doc; the
+    FFT fundamental beats the 3rd harmonic ~3x, so dom_bin is exact,
+    not approximate."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import audio_features
+    from rsoup_spark.ops.wav import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        idx = np.arange(512)
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            blobs = []
+            for i in ids:
+                amp = (i % 100) * 300 + 300
+                half = 1 << (3 + i % 3)
+                wave = np.where((idx // half) % 2 == 0, amp, -amp)
+                blobs.append(encode_wav(wave, rate=8000, bits=16))
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "data": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return audio_features(media, window=256)
+
+
 def q_ext_text_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-page rendered text via the legacy get_text v1 algorithm
     (reference text/mod.rs:2) -- closes the one remaining API-surface
@@ -1368,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -2028,6 +2107,34 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        8 AS width, 8 AS height, 1 AS channels,
        CAST((doc_id % 256) * 1000000 // 255 AS BIGINT) AS mean_ppm0
 FROM documents
+""",
+        # the engine RIFF-demuxes and Huffman-decodes real MJPEG-AVI
+        # bytes; the oracle replays the 150 ms sampling grid over the
+        # analytic constant-frame definition (k = 2 + doc_id % 3 frames
+        # at 100 ms, frame j = gray (doc_id*11 + j*29) % 256)
+        "multimodal_video_frames": """
+WITH t AS (SELECT CAST(range AS INT) AS ms FROM range(0, 500, 150))
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       t.ms AS sample_at_ms,
+       CAST(t.ms // 100 AS INT) AS frame_idx,
+       8 AS width, 8 AS height,
+       CAST(((d.doc_id * 11 + (t.ms // 100) * 29) % 256) * 1000000 // 255
+            AS BIGINT) AS mean_ppm
+FROM documents d JOIN t ON t.ms < (2 + d.doc_id % 3) * 100
+""",
+        # square waves are quantization-exact: RMS = A, crossings and
+        # the dominant rFFT bin follow from the half-period 2^(3+m)
+        "multimodal_audio_features": """
+WITH w AS (SELECT CAST(range AS INT) AS window_idx FROM range(0, 2))
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       w.window_idx,
+       CAST(((d.doc_id % 100) * 300 + 300) * 1000000 // 32767 AS BIGINT)
+         AS rms_ppm,
+       CAST(CASE d.doc_id % 3 WHEN 0 THEN 31 WHEN 1 THEN 15 ELSE 7 END
+            AS INT) AS zero_crossings,
+       CAST(CASE d.doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END
+            AS INT) AS dom_bin
+FROM documents d, w
 """,
         "multimodal_gif_frames": """
 SELECT CAST(d.doc_id AS VARCHAR) AS media_id,

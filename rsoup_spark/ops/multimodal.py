@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, batch shape, partitioning, UDF
-signatures) is real and tested, and PNG image decode is real too
-(pure stdlib-zlib + numpy codec in ``ops.png``; exercised end-to-end
-by :func:`image_pixel_stats`).  JPEG/audio/video decode stays stubbed
-behind ``NotImplementedError`` / a deterministic fake because those
-need codec libraries this container does not ship.  Swapping the stub
-for Pillow/torchaudio is a one-function change -- the dataflow does
-not move.
+signatures) is real and tested, and so is the decode step for the
+formats a pure Python + numpy codec can handle: PNG (``ops.png``),
+GIF (``ops.gif``), baseline JPEG (``ops.jpeg``), PCM WAV
+(``ops.wav``), and MJPEG-AVI / YUV4MPEG2 video (``ops.video``).
+Formats that need DSP/entropy codec libraries this container does not
+ship (WebP/AVIF images, compressed audio, inter-frame video codecs)
+raise ``NotImplementedError`` behind the same dispatch; swapping in
+Pillow/PyAV is a one-function change -- the dataflow does not move.
 
 Scale notes: media bytes ride in ``binary`` columns bounded by
 ``arrow.maxBytesPerBatch``; feature extraction is ``mapInPandas`` so a
@@ -305,6 +306,71 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(run, schema)
 
 
+def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed audio feature extraction over decoded PCM samples --
+    the DSP step a training pipeline runs after :func:`audio_stats`'
+    whole-clip screen.  Per non-overlapping ``window``-sample window of
+    the first channel: RMS level in ppm of full scale (floor), the
+    zero-crossing count (strict sign flips), and the dominant
+    spectral bin (argmax of the rFFT magnitude over bins
+    ``1..window/2`` -- DC excluded, numpy FFT so the transform is
+    vectorized per clip).  The trailing partial window is dropped.
+
+    Integer outputs only, so results are exact across engines for
+    quantization-exact signals (e.g. square waves).  Undecodable or
+    compressed blobs are dropped (quarantine-sink semantics).
+    """
+    schema = StructType([
+        StructField("media_id", StringType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("rms_ppm", LongType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+        StructField("dom_bin", IntegerType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    samples, rate, bits = decode_wav(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                mono = samples[:, 0]
+                if mono.dtype == np.float64:
+                    x = mono
+                    full = 1.0
+                else:
+                    x = mono.astype(np.float64)
+                    full = float((1 << (bits - 1)) - 1)
+                nwin = len(x) // window
+                if nwin == 0:
+                    continue
+                w = x[: nwin * window].reshape(nwin, window)
+                rms = np.sqrt((w * w).mean(axis=1))
+                zc = (np.sign(w[:, 1:]) * np.sign(w[:, :-1]) < 0) \
+                    .sum(axis=1)
+                mag = np.abs(np.fft.rfft(w, axis=1))
+                dom = mag[:, 1:].argmax(axis=1) + 1
+                for k in range(nwin):
+                    rows.append({
+                        "media_id": mid,
+                        "window_idx": k,
+                        "rms_ppm": int(rms[k] * 1_000_000 // full),
+                        "zero_crossings": int(zc[k]),
+                        "dom_bin": int(dom[k]),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "rms_ppm",
+                         "zero_crossings", "dom_bin"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
+
+
 def gif_frame_stats(media: DataFrame) -> DataFrame:
     """Decode ANIMATED media (GIF -- the container's one natively
     decodable timed format, ``ops.gif``) and emit one row per
@@ -358,10 +424,79 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(run, schema)
 
 
+def video_frame_stats(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Sample VIDEO clips at a fixed timestamp grid and decode the
+    sampled frames for real (``ops.video``: MJPEG-AVI via the baseline
+    JPEG codec, YUV4MPEG2 raw) -- the executed counterpart of
+    :func:`frame_sample_plan`.  Sample timestamps are
+    ``0, every_ms, 2*every_ms, ... < n_frames * frame_ms`` and each
+    maps to the frame on screen at that instant
+    (``frame_idx = t // frame_ms``); a frame needed by several samples
+    is decoded once per clip.
+
+    Same Arrow-batched mapInPandas shape as the other media passes;
+    non-video / undecodable / inter-frame-codec blobs are dropped
+    (quarantine-sink semantics), never fatal.  Per-clip cost is
+    bounded by the clip's own frame count -- clips parallelize across
+    Arrow batches exactly like images, so the 100 TB story is the
+    scan's, not this operator's.
+    """
+    schema = StructType([
+        StructField("media_id", StringType(), False),
+        StructField("sample_at_ms", IntegerType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_ppm", LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .video import decode_video
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    frame_ms, frames = decode_video(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                if not frames:
+                    continue
+                stats: dict[int, tuple[int, int, int]] = {}
+                duration = len(frames) * frame_ms
+                for t in range(0, duration, every_ms):
+                    idx = t // frame_ms
+                    if idx not in stats:
+                        fr = frames[idx]
+                        if fr.ndim == 2:
+                            fr = fr[:, :, None]
+                        h, w, ch = fr.shape
+                        s = int(fr.astype(np.int64).sum())
+                        stats[idx] = (w, h,
+                                      s * 1_000_000 // (h * w * ch * 255))
+                    w, h, ppm = stats[idx]
+                    rows.append({
+                        "media_id": mid,
+                        "sample_at_ms": t,
+                        "frame_idx": idx,
+                        "width": w,
+                        "height": h,
+                        "mean_ppm": ppm,
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_at_ms", "frame_idx",
+                         "width", "height", "mean_ppm"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: which timestamps to decode per clip
-    (decode itself is the stubbed step).  Pure relational: sequence +
-    explode, no Python."""
+    -- pure relational (sequence + explode, no Python), so the grid can
+    be joined/filtered before any decode happens.
+    :func:`video_frame_stats` is the executing counterpart."""
     vids = media.where(F.col("duration_ms").isNotNull())
     return vids.select(
         "media_id",

@@ -740,3 +740,154 @@ class TestWavCodec:
         assert got["sq"]["sample_rate"] == 8000
         assert got["sq"]["duration_ms"] == 50
         assert got["sq"]["mean_abs_ppm"] == 3000 * 1_000_000 // 32767
+
+
+class TestVideoCodec:
+    """MJPEG-AVI + YUV4MPEG2 demux/decode (ops/video.py) and the
+    executing frame sampler (video_frame_stats)."""
+
+    def test_avi_mjpeg_roundtrip_gray_and_rgb(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import encode_jpeg
+        from rsoup_spark.ops.video import decode_video, mux_avi_mjpeg
+
+        gray = [encode_jpeg(np.full((8, 8), v, np.uint8), quality=100)
+                for v in (0, 17, 200, 255)]
+        ms, frames = decode_video(mux_avi_mjpeg(gray, 8, 8, 100_000))
+        assert ms == 100
+        assert [int(f[0, 0]) for f in frames] == [0, 17, 200, 255]
+        assert all(f.shape == (8, 8) for f in frames)
+
+        rgb = [encode_jpeg(np.full((8, 8, 3), v, np.uint8), quality=100)
+               for v in (10, 100)]
+        ms, frames = decode_video(mux_avi_mjpeg(rgb, 8, 8, 40_000))
+        assert ms == 40
+        assert [f[0, 0].tolist() for f in frames] == [[10] * 3, [100] * 3]
+
+    def test_avi_word_alignment_odd_payloads(self):
+        """RIFF chunks pad odd sizes; a frame payload of odd length
+        must not desync the parse."""
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import encode_jpeg
+        from rsoup_spark.ops.video import demux_avi, mux_avi_mjpeg
+
+        f = encode_jpeg(np.full((8, 8), 9, np.uint8), quality=100)
+        # force an odd payload length; decoders ignore post-EOI bytes
+        odd = f if len(f) % 2 == 1 else f + b"\xd9"
+        assert len(odd) % 2 == 1
+        f = f + b"\xd9\xd9" if f is odd else f
+        us, payloads = demux_avi(mux_avi_mjpeg([odd, f, odd], 8, 8))
+        assert us == 100_000
+        assert [len(p) for p in payloads] == [len(odd), len(f), len(odd)]
+
+    def test_avi_error_classes(self):
+        import numpy as np
+        import pytest
+
+        from rsoup_spark.ops.jpeg import encode_jpeg
+        from rsoup_spark.ops.video import decode_video, demux_avi, \
+            mux_avi_mjpeg
+
+        f = encode_jpeg(np.full((8, 8), 1, np.uint8), quality=100)
+        good = mux_avi_mjpeg([f], 8, 8)
+        with pytest.raises(ValueError):
+            demux_avi(good[:40])  # truncated chunk
+        with pytest.raises(ValueError):
+            demux_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not an AVI form
+        h264 = bytearray(good)
+        h264[good.index(b"vids") + 4:good.index(b"vids") + 8] = b"H264"
+        with pytest.raises(NotImplementedError):
+            demux_avi(bytes(h264))  # inter-frame codec named
+        with pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x00\x00 ftypisom")  # mp4: env-gated
+
+    def test_y4m_mono_444_420(self):
+        import numpy as np
+
+        from rsoup_spark.ops.video import (decode_video, demux_y4m,
+                                           mux_y4m)
+
+        mono = [np.full((4, 6), v, np.uint8) for v in (3, 250)]
+        ms, frames = decode_video(mux_y4m(mono, 20, 1))
+        assert ms == 50
+        assert [int(f[0, 0]) for f in frames] == [3, 250]
+
+        # hand-built 444 frame: gray 128 chroma = identity on Y
+        head = b"YUV4MPEG2 W2 H2 F10:1 C444\n"
+        y = bytes([0, 64, 128, 255])
+        frame = b"FRAME\n" + y + b"\x80" * 4 + b"\x80" * 4
+        ms, frames = decode_video(head + frame)
+        assert ms == 100
+        assert frames[0][:, :, 0].flatten().tolist() == [0, 64, 128, 255]
+        assert frames[0].shape == (2, 2, 3)
+
+        # 420jpeg (spec default when C is absent): one chroma sample
+        head = b"YUV4MPEG2 W2 H2 F10:1\n"
+        ms, frames = decode_video(head + b"FRAME\n" + y + b"\x80\x80")
+        # green == Y at neutral chroma
+        assert frames[0][:, :, 1].flatten().tolist() == [0, 64, 128, 255]
+
+    def test_y4m_errors_named(self):
+        import pytest
+
+        from rsoup_spark.ops.video import demux_y4m
+
+        with pytest.raises(ValueError):
+            demux_y4m(b"YUV4MPEG2 W2 H2 F10:1\nFRAME\n\x00")  # short
+        with pytest.raises(NotImplementedError):
+            demux_y4m(b"YUV4MPEG2 W2 H2 F10:1 C411\nFRAME\n" + b"\0" * 3)
+
+    def test_video_frame_stats_dataflow(self, spark):
+        """Sampling grid semantics + frame reuse + quarantine drop."""
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import encode_jpeg
+        from rsoup_spark.ops.multimodal import video_frame_stats
+        from rsoup_spark.ops.video import mux_avi_mjpeg
+
+        frames = [encode_jpeg(np.full((8, 8), v, np.uint8), quality=100)
+                  for v in (50, 150, 250)]
+        avi = mux_avi_mjpeg(frames, 8, 8, 100_000)  # 300 ms clip
+        rows = [("clip", bytearray(avi)), ("junk", bytearray(b"zz"))]
+        media = spark.createDataFrame(
+            rows, "media_id string, data binary"
+        )
+        got = sorted(
+            (r["sample_at_ms"], r["frame_idx"], r["mean_ppm"])
+            for r in video_frame_stats(media, every_ms=80).collect()
+        )
+        # grid: 0,80,160,240 < 300 -> frames 0,0,1,2
+        assert got == [
+            (0, 0, 50 * 1_000_000 // 255),
+            (80, 0, 50 * 1_000_000 // 255),
+            (160, 1, 150 * 1_000_000 // 255),
+            (240, 2, 250 * 1_000_000 // 255),
+        ]
+
+    def test_audio_features_known_values(self, spark):
+        """Square wave: RMS exactly A, crossings and dominant bin from
+        the half-period; trailing partial window dropped; float WAV
+        path exercised."""
+        import numpy as np
+
+        from rsoup_spark.ops.multimodal import audio_features
+        from rsoup_spark.ops.wav import encode_wav
+
+        idx = np.arange(512 + 100)  # 100-sample tail must be dropped
+        wave = np.where((idx // 16) % 2 == 0, 12000, -12000)
+        rows = [("sq", bytearray(encode_wav(wave, rate=8000, bits=16)))]
+        media = spark.createDataFrame(
+            rows, "media_id string, data binary"
+        )
+        out = sorted(
+            (r.asDict() for r in
+             audio_features(media, window=256).collect()),
+            key=lambda r: r["window_idx"],
+        )
+        assert [r["window_idx"] for r in out] == [0, 1]
+        for r in out:
+            assert r["rms_ppm"] == 12000 * 1_000_000 // 32767
+            assert r["zero_crossings"] == 15
+            assert r["dom_bin"] == 8
