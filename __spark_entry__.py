@@ -1125,6 +1125,52 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode in the dataflow: one 8x8 constant
+    grayscale SOF2 stream per doc (value (doc_id * 3 + 7) % 256,
+    quality 100, successive approximation on -- so the decode walks
+    DC-coarse, AC-coarse, DC-refinement, and AC-refinement scans and
+    accumulates coefficients before the final IDCT).  Constant blocks
+    at q100 round-trip bit-exactly, so the oracle states the mean
+    analytically; any scan-sequencing or refinement-bit error goes
+    red."""
+    import pandas as pd
+
+    from rsoup_spark.ops.jpeg import encode_jpeg_progressive
+    from rsoup_spark.ops.multimodal import image_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": [
+                        encode_jpeg_progressive(
+                            np.full((8, 8), (i * 3 + 7) % 256, np.uint8),
+                            quality=100,
+                            successive=True,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return image_pixel_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.col("mean_ppm")[0].cast("long").alias("mean_ppm0"),
+    )
+
+
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the dataflow: one MJPEG-AVI clip per doc
     (2 + doc_id % 3 frames, each an 8x8 constant gray baseline JPEG at
@@ -1445,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
         "text_repetition": q_text_repetition,
@@ -2106,6 +2153,15 @@ FROM documents
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        8 AS width, 8 AS height, 1 AS channels,
        CAST((doc_id % 256) * 1000000 // 255 AS BIGINT) AS mean_ppm0
+FROM documents
+""",
+        # constant 8x8 gray at q100 round-trips bit-exactly through
+        # the progressive (SOF2, successive-approximation) scan chain
+        "multimodal_jpeg_progressive": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       8 AS width, 8 AS height, 1 AS channels,
+       CAST(((doc_id * 3 + 7) % 256) * 1000000 // 255 AS BIGINT)
+         AS mean_ppm0
 FROM documents
 """,
         # the engine RIFF-demuxes and Huffman-decodes real MJPEG-AVI

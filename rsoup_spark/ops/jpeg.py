@@ -5,7 +5,11 @@ Closes the last image-decode gap named in round-4 review: baseline
 decode, dequantize, 8x8 IDCT, chroma upsampling, YCbCr->RGB --
 covering grayscale and 3-component JFIF images at any sampling factor
 (4:4:4 / 4:2:2 / 4:2:0), with restart-marker support.  Progressive
-(SOF2) and arithmetic-coded JPEGs raise with the missing piece named.
+(SOF2) decodes too: multi-scan spectral selection and successive
+approximation (DC refinement bits, AC EOB-run correction-bit
+interleaving per T.81 G.1.2) accumulate into coefficient planes that
+IDCT once at EOI.  Arithmetic-coded, hierarchical, and lossless
+JPEGs raise with the missing piece named.
 
 The encoder is a fixture/test helper: standard Annex K tables scaled
 by a quality factor, 4:4:4, no subsampling tricks -- every conforming
@@ -202,9 +206,10 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB.
+    """Baseline or progressive JPEG bytes -> uint8 (h, w) grayscale
+    or (h, w, 3) RGB.
 
-    Raises NotImplementedError for progressive/arithmetic/12-bit
+    Raises NotImplementedError for arithmetic-coded/12-bit/lossless
     streams (the missing piece named), ValueError for malformed data
     (truncation anywhere in the stream is normalized to ValueError so
     callers get one quarantine-able error class).
@@ -224,6 +229,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffmanTree] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component zigzag coefficients
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected JPEG marker")
@@ -260,7 +266,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 tree = _HuffmanTree(bits, values)
                 (huff_ac if tc else huff_dc)[th] = tree
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -270,11 +276,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2 spectral-selection passes)"
-            )
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -286,6 +289,31 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], \
+                seg[3 + 2 * ns]
+            if frame["progressive"]:
+                # T.81 scan-header constraints: DC scans span exactly
+                # [0, 0]; AC scans are single-component inside [1, 63]
+                if (ss == 0) != (se == 0) or se > 63 or \
+                        (ss > 0 and ns != 1):
+                    raise ValueError("malformed progressive scan header")
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                scan = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                    ci = next(j for j, c in enumerate(frame["comps"])
+                              if c["id"] == cs)
+                    scan.append((
+                        ci, frame["comps"][ci],
+                        huff_dc.get(tdta >> 4) if ss == 0 else None,
+                        huff_ac.get(tdta & 15) if ss > 0 else None,
+                    ))
+                pos = _progressive_scan(
+                    data, pos + seglen, frame, scan, ss, se,
+                    ahl >> 4, ahl & 15, restart_interval, coefs
+                )
+                continue
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
@@ -300,6 +328,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 data, pos, frame, scan, qt, restart_interval
             )
         pos += seglen
+    if coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -352,6 +382,12 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    return _assemble_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _assemble_planes(comps, planes, h, w, hmax, vmax):
+    """Upsample subsampled planes, crop to the frame, convert
+    YCbCr->RGB (shared by the baseline and progressive paths)."""
     out_planes = []
     for c, plane in zip(comps, planes):
         if c["h"] != hmax or c["v"] != vmax:
@@ -375,6 +411,176 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive (SOF2) decode ---------------------------------------------
+
+def _alloc_coefs(frame):
+    """Zigzag-order coefficient planes, one (blocks_y, blocks_x, 64)
+    array per component, sized to the MCU-padded grid so interleaved
+    DC scans and non-interleaved AC scans index the same storage."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _block_order(frame, scan):
+    """Yield (comp_index_in_scan, by, bx) in the spec's data ordering:
+    MCU-interleaved when the scan has several components, component
+    raster over the non-padded block grid when it has one.  One yield
+    group per restart unit (MCU or single block)."""
+    if len(scan) > 1:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                unit = []
+                for si, (ci, comp, *_t) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit.append((
+                                si,
+                                my * comp["v"] + by,
+                                mx * comp["h"] + bx,
+                            ))
+                yield unit
+    else:
+        _, comp, *_t = scan[0]
+        cw = -(-(frame["w"] * comp["h"]) // frame["hmax"])
+        ch = -(-(frame["h"] * comp["v"]) // frame["vmax"])
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(0, by, bx)]
+
+
+def _progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                      restart_interval, coefs):
+    """Decode one progressive SOS into the coefficient planes and
+    return the stream position after its entropy data.
+
+    DC scans (ss == 0) may be interleaved; first pass (ah == 0) codes
+    DC diffs at precision ``al``, refinement appends one bit per
+    block.  AC scans are single-component with EOB-run coding; the
+    refinement pass follows T.81 G.1.2.3: correction bits for
+    already-nonzero coefficients interleave with the run walk.
+    """
+    reader = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+    unit_count = 0
+    for unit in _block_order(frame, scan):
+        if restart_interval and unit_count and \
+                unit_count % restart_interval == 0:
+            reader.align_to_restart()
+            pred = [0] * len(scan)
+            eobrun = 0
+        unit_count += 1
+        for si, by, bx in unit:
+            ci = scan[si][0]
+            block = coefs[ci][by, bx]
+            if ss == 0:
+                dct = scan[si][2]
+                if ah == 0:
+                    t = dct.decode(reader)
+                    pred[si] += _extend(reader.receive(t), t)
+                    block[0] = pred[si] << al
+                elif reader.bit():
+                    block[0] |= 1 << al
+                continue
+            act = scan[si][3]
+            if ah == 0:
+                # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(reader)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC overflow")
+                    block[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+                continue
+            # AC refinement pass (T.81 G.1.2.3 / libjpeg structure)
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = act.decode(reader)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad refinement magnitude")
+                        val = p1 if reader.bit() else m1
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.bit() and not (block[k] & p1):
+                                block[k] += p1 if block[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if block[k] != 0:
+                        if reader.bit() and not (block[k] & p1):
+                            block[k] += p1 if block[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    # skip to the next marker (any partial byte is padding)
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+        and not 0xD0 <= data[p + 1] <= 0xD7
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT every accumulated block (vectorized per
+    component) and assemble exactly like the baseline path."""
+    planes = []
+    for c, zz in zip(frame["comps"], coefs):
+        nat = np.zeros_like(zz, np.float64)
+        nat[:, :, _ZZ] = zz * qt[c["tq"]]
+        by, bx = zz.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        pix = np.einsum("mk,yxmn,nl->yxkl", _C, blocks, _C) + 128.0
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble_planes(
+        frame["comps"], planes, frame["h"], frame["w"],
+        frame["hmax"], frame["vmax"]
+    )
 
 
 # -- encoder (fixture/test helper) ----------------------------------------
@@ -571,5 +777,222 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
+                            successive: bool = False) -> bytes:
+    """uint8 gray or RGB -> progressive (SOF2) JPEG, 4:4:4, Annex K
+    tables (fixture/test helper for the progressive decode path).
+
+    Scan script: one interleaved DC scan, then one full AC scan
+    (Ss=1..63) per component.  With ``successive=True`` every scan is
+    split into a coarse pass at Al=1 plus a refinement pass (Ah=1,
+    Al=0), exercising the successive-approximation decoder: DC
+    refinement bits, AC EOB-run correction bits, and newly-nonzero
+    insertion.  Quantized coefficients are identical to
+    :func:`encode_jpeg`'s at the same quality, so progressive and
+    baseline decodes of the same input are pixel-identical.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a - 128.0]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nc = len(planes)
+    qts = [_scale_q(_Q_LUM, quality)]
+    if not gray:
+        qts.append(_scale_q(_Q_CHR, quality))
+
+    # quantized zigzag coefficients per component, (by, bx, 64)
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    zzs = []
+    for ci in range(nc):
+        pp = np.empty((bh * 8, bw_ * 8))
+        pp[:h, :w] = planes[ci]
+        pp[h:, :w] = planes[ci][-1:, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        # per-block matmul in the baseline encoder's exact float
+        # order, so quantized coefficients -- and therefore decoded
+        # pixels -- are identical between the two encoders
+        q = qts[0 if ci == 0 else 1]
+        zz = np.empty((bh, bw_, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _C @ block @ _C.T
+                zz[by, bx] = np.round(
+                    coef.reshape(64)[_ZZ] / q
+                ).astype(np.int64)
+        zzs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    tables = [(_HT_DC_LUM, 0x00), (_HT_AC_LUM, 0x10)]
+    if not gray:
+        tables += [(_HT_DC_CHR, 0x01), (_HT_AC_CHR, 0x11)]
+    for (bits, values), tc_th in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(values), tc_th
+        ) + bytes(bits) + bytes(values)
+
+    dc_codes = [_build_huffman_codes(*(_HT_DC_LUM if i == 0
+                                       else _HT_DC_CHR))
+                for i in range(nc)]
+    ac_codes = [_build_huffman_codes(*(_HT_AC_LUM if i == 0
+                                       else _HT_AC_CHR))
+                for i in range(nc)]
+
+    def sos_header(comp_ids, tds, tas, ss, se, ah, al):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                      len(comp_ids))
+        )
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    def dc_first(al):
+        bw = _BitWriter()
+        pred = [0] * nc
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(nc):
+                    v = int(zzs[ci][by, bx, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    n, raw = _magnitude(diff)
+                    code, length = dc_codes[ci][n]
+                    bw.put(code, length)
+                    if n:
+                        bw.put(raw, n)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine(al):
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(nc):
+                    bw.put((int(zzs[ci][by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first(ci, al):
+        """Al-truncated magnitudes, per-block EOB (no run
+        accumulation -- EOB0 is spec-valid and simplest)."""
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        for by in range(bh):
+            for bx in range(bw_):
+                zz = zzs[ci][by, bx]
+                vals = np.sign(zz) * (np.abs(zz) >> al)
+                nz = np.nonzero(vals[1:])[0]
+                last = (int(nz[-1]) + 1) if len(nz) else 0
+                k, run = 1, 0
+                while k <= last:
+                    if vals[k] == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        code, length = codes[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    n, raw = _magnitude(int(vals[k]))
+                    code, length = codes[(run << 4) | n]
+                    bw.put(code, length)
+                    bw.put(raw, n)
+                    run = 0
+                    k += 1
+                if last < 63:
+                    code, length = codes[0x00]  # EOB (run of 1)
+                    bw.put(code, length)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine(ci, ah, al):
+        """Correction-bit pass: history = |coef| >> ah, target adds
+        bit al.  Bit order mirrors the decoder's walk: symbol, sign,
+        then correction bits of crossed nonzero-history positions;
+        EOB0 flushes the block's remaining correction bits."""
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        for by in range(bh):
+            for bx in range(bw_):
+                zz = zzs[ci][by, bx]
+                absv = np.abs(zz)
+                hist = absv >> ah
+                newly = [int(k) for k in range(1, 64)
+                         if hist[k] == 0 and (absv[k] >> al)]
+                k = 1
+                for nk in newly:
+                    run, pend = 0, []
+                    while k < nk:
+                        if hist[k]:
+                            pend.append((int(absv[k]) >> al) & 1)
+                        else:
+                            if run == 15:
+                                code, length = codes[0xF0]
+                                bw.put(code, length)
+                                for bit in pend:
+                                    bw.put(bit, 1)
+                                pend, run = [], 0
+                            else:
+                                run += 1
+                        k += 1
+                    code, length = codes[(run << 4) | 1]
+                    bw.put(code, length)
+                    bw.put(1 if zz[nk] > 0 else 0, 1)
+                    for bit in pend:
+                        bw.put(bit, 1)
+                    k = nk + 1
+                # EOB0 + corrections for the rest of the block
+                if k <= 63:
+                    code, length = codes[0x00]
+                    bw.put(code, length)
+                    for kk in range(k, 64):
+                        if hist[kk]:
+                            bw.put((int(absv[kk]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    ids = list(range(1, nc + 1))
+    tds = [0 if i == 0 else 1 for i in range(nc)]
+    if successive:
+        out += sos_header(ids, tds, [0] * nc, 0, 0, 0, 1) + dc_first(1)
+        for ci in range(nc):
+            ta = 0 if ci == 0 else 1
+            out += sos_header([ci + 1], [0], [ta], 1, 63, 0, 1)
+            out += ac_first(ci, 1)
+        out += sos_header(ids, [0] * nc, [0] * nc, 0, 0, 1, 0)
+        out += dc_refine(0)
+        for ci in range(nc):
+            ta = 0 if ci == 0 else 1
+            out += sos_header([ci + 1], [0], [ta], 1, 63, 1, 0)
+            out += ac_refine(ci, 1, 0)
+    else:
+        out += sos_header(ids, tds, [0] * nc, 0, 0, 0, 0) + dc_first(0)
+        for ci in range(nc):
+            ta = 0 if ci == 0 else 1
+            out += sos_header([ci + 1], [0], [ta], 1, 63, 0, 0)
+            out += ac_first(ci, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -68,8 +68,10 @@ def decode_image(data: bytes) -> "np.ndarray":
     * PNG (``ops.png``): every static flavor -- bit depths 1-16,
       gray / palette(+tRNS) / RGB / gray+alpha / RGBA, none + Adam7;
     * GIF (``ops.gif``): full LZW, first composited frame (RGBA);
-    * baseline JPEG (``ops.jpeg``): Huffman + IDCT + 4:2:0/4:2:2
-      upsampling + restart markers (progressive raises, named).
+    * JPEG (``ops.jpeg``): baseline (Huffman + IDCT + 4:2:0/4:2:2
+      upsampling + restart markers) and progressive (multi-scan
+      spectral selection + successive approximation); arithmetic
+      coding raises, named.
 
     Everything else (WebP/AVIF, real video) stays environment-gated --
     they need codec libraries this container doesn't ship; swapping in

@@ -610,9 +610,58 @@ class TestJpegCodec:
             encode_jpeg(np.zeros((8, 8), np.uint8), quality=90)
         )
         i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2
-        with pt.raises(NotImplementedError, match="progressive"):
+        blob[i + 1] = 0xC9  # arithmetic-coded frame: still env-gated
+        with pt.raises(NotImplementedError, match="SOF9"):
             decode_jpeg(bytes(blob))
+        # flipping SOF0->SOF2 makes the baseline scan header illegal
+        # for a progressive frame (Ss=0 with Se=63): malformed, named
+        blob[i + 1] = 0xC2
+        with pt.raises(ValueError, match="progressive scan header"):
+            decode_jpeg(bytes(blob))
+
+    def test_progressive_constant_q100_exact(self):
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import (decode_jpeg,
+                                          encode_jpeg_progressive)
+
+        for img in (np.full((8, 8), 137, np.uint8),
+                    np.full((16, 16, 3), 201, np.uint8)):
+            for succ in (False, True):
+                out = decode_jpeg(
+                    encode_jpeg_progressive(img, 100, successive=succ)
+                )
+                assert (out == img).all()
+
+    def test_progressive_equals_baseline(self):
+        """Both encoders quantize identically, so the progressive
+        multi-scan decode (spectral selection; with successive=True
+        also DC/AC refinement bits and EOB-run corrections) must
+        reproduce the baseline decode pixel-for-pixel."""
+        import numpy as np
+
+        from rsoup_spark.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                          encode_jpeg_progressive)
+
+        rng = np.random.default_rng(7)
+        images = [
+            rng.integers(0, 256, (16, 24)).astype(np.uint8),
+            rng.integers(0, 256, (13, 19, 3)).astype(np.uint8),
+        ]
+        sparse = np.zeros((32, 32), np.uint8)
+        sparse[::8, ::8] = 255
+        sparse[7::8, 5::8] = 90  # forces long zero runs / EOB runs
+        images.append(sparse)
+        y, x = np.mgrid[0:40, 0:40]
+        images.append(((y * 2 + x * 3) % 256).astype(np.uint8))
+        for img in images:
+            for q in (50, 90, 100):
+                base = decode_jpeg(encode_jpeg(img, q))
+                for succ in (False, True):
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(img, q, successive=succ)
+                    )
+                    assert (prog == base).all(), (img.shape, q, succ)
 
     @pytest.mark.spark
     def test_jpeg_in_pixel_stats_dataflow(self, spark):
