@@ -1125,6 +1125,89 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode in the dataflow: the same 8x16
+    gradient as the PNG gate, but VP8L-encoded with a doc_id-cycled
+    transform (none / subtract-green / predictor mode doc_id%14 /
+    color transform / palette) and an every-other-doc color cache --
+    so across the corpus the gate exercises every inverse transform,
+    LZ77 runs, and cache hits.  VP8L is lossless, so the oracle's
+    analytic gradient mean must hold bit-exactly on every variant."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import image_pixel_stats
+    from rsoup_spark.ops.vp8l import encode_vp8l
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            blobs = []
+            for i in ids:
+                img = (
+                    ((np.arange(16)[:, None] + i) % 256)
+                    .astype(np.uint8)
+                    .repeat(8, axis=1)
+                )
+                t = [None, "subtract_green", f"predictor:{i % 14}",
+                     f"color:{i % 256},{(i * 3) % 256},{(i * 7) % 256}",
+                     "palette"][i % 5]
+                blobs.append(
+                    encode_vp8l(img, transform=t,
+                                cache_bits=4 if i % 2 else 0)
+                )
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "data": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    return image_pixel_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.col("mean_ppm")[0].cast("long").alias("mean_ppm0"),
+    )
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingest (sources/warc.py): one Common-Crawl-style
+    .warc.gz per doc (a single HTTP response record whose body is the
+    doc text, URL/status derived from doc_id), parsed back through the
+    distributed record reader.  The oracle restates the record fields
+    analytically -- any gzip-member, WARC-header, or HTTP-split error
+    goes red."""
+    import pandas as pd
+
+    from rsoup_spark.sources.warc import warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"src": [], "data": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                rows["src"].append(f"crawl/{i}.warc.gz")
+                rows["data"].append(write_warc([{
+                    "url": f"http://site{i % 97}.test/doc/{i}",
+                    "payload": str(t).encode("utf-8"),
+                    "http_status": 404 if i % 13 == 0 else 200,
+                }]))
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(synth, "src string, data binary")
+    return warc_records(archives).select(
+        "url",
+        "http_status",
+        "mime",
+        F.length("body").cast("long").alias("n_bytes"),
+    )
+
+
 def q_multimodal_jpeg_progressive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG decode in the dataflow: one 8x8 constant
@@ -1491,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "warc_ingest": q_warc_ingest,
+        "multimodal_webp_stats": q_multimodal_webp_stats,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -2153,6 +2238,27 @@ FROM documents
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        8 AS width, 8 AS height, 1 AS channels,
        CAST((doc_id % 256) * 1000000 // 255 AS BIGINT) AS mean_ppm0
+FROM documents
+""",
+        # VP8L is lossless, so the PNG gate's analytic gradient mean
+        # holds for every transform/cache variant; channels = 4 (RGBA)
+        "multimodal_webp_stats": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       8 AS width, 16 AS height, 4 AS channels,
+       CAST((SELECT SUM((d.doc_id + g.range) % 256)
+             FROM range(0, 16) g) * 8 * 1000000
+            // (16 * 8 * 255) AS BIGINT) AS mean_ppm0
+FROM documents d
+""",
+        # the engine gunzips + parses real WARC bytes; the oracle
+        # restates the synthesized record fields from documents
+        "warc_ingest": """
+SELECT 'http://site' || CAST(doc_id % 97 AS VARCHAR)
+         || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+         AS http_status,
+       'text/html' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
 """,
         # constant 8x8 gray at q100 round-trips bit-exactly through

@@ -62,7 +62,7 @@ FEATURE_SCHEMA = StructType(
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode image bytes to a uint8/uint16 pixel array.
 
-    The three dominant web image formats decode natively, pure
+    The four dominant web image formats decode natively, pure
     Python + numpy:
 
     * PNG (``ops.png``): every static flavor -- bit depths 1-16,
@@ -71,15 +71,19 @@ def decode_image(data: bytes) -> "np.ndarray":
     * JPEG (``ops.jpeg``): baseline (Huffman + IDCT + 4:2:0/4:2:2
       upsampling + restart markers) and progressive (multi-scan
       spectral selection + successive approximation); arithmetic
-      coding raises, named.
+      coding raises, named;
+    * WebP lossless (``ops.vp8l``): prefix codes, LZ77 + color cache,
+      all four transforms; lossy VP8 raises, named.
 
-    Everything else (WebP/AVIF, real video) stays environment-gated --
-    they need codec libraries this container doesn't ship; swapping in
-    Pillow/ffmpeg is a one-function change, the dataflow doesn't move.
+    Everything else (AVIF, lossy WebP) stays environment-gated --
+    they need DSP codec libraries this container doesn't ship;
+    swapping in Pillow is a one-function change, the dataflow doesn't
+    move.
     """
     from .gif import GIF_MAGICS, decode_gif_first
     from .jpeg import decode_jpeg
     from .png import PNG_MAGIC, decode_png
+    from .vp8l import decode_webp
 
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
@@ -87,9 +91,12 @@ def decode_image(data: bytes) -> "np.ndarray":
         return decode_gif_first(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return decode_webp(data)
     raise NotImplementedError(
-        "non-PNG/GIF/JPEG image decoding requires a codec library "
-        "(e.g. Pillow for WebP); not available in this environment"
+        "non-PNG/GIF/JPEG/WebP-lossless image decoding requires a "
+        "codec library (e.g. Pillow for AVIF); not available in this "
+        "environment"
     )
 
 

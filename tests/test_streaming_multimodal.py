@@ -940,3 +940,107 @@ class TestVideoCodec:
             assert r["rms_ppm"] == 12000 * 1_000_000 // 32767
             assert r["zero_crossings"] == 15
             assert r["dom_bin"] == 8
+
+
+class TestWebpCodec:
+    """VP8L (lossless WebP) codec: prefix codes, LZ77, color cache,
+    all four transforms (ops/vp8l.py)."""
+
+    @staticmethod
+    def _rgba(img):
+        import numpy as np
+
+        if img.ndim == 2:
+            return np.stack(
+                [img] * 3 + [np.full(img.shape, 255, np.uint8)], -1)
+        if img.shape[2] == 3:
+            return np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        return img
+
+    def test_literals_runs_cache_roundtrip(self):
+        import numpy as np
+
+        from rsoup_spark.ops.vp8l import decode_webp, encode_vp8l
+
+        rng = np.random.default_rng(3)
+        for img, kw in [
+            (rng.integers(0, 256, (3, 5)).astype(np.uint8), {}),
+            (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), {}),
+            (rng.integers(0, 256, (7, 9, 4)).astype(np.uint8), {}),
+            (np.full((64, 64), 9, np.uint8), {}),          # long runs
+            (rng.integers(0, 4, (20, 20)).astype(np.uint8) * 80,
+             {"cache_bits": 4}),                            # cache hits
+            (rng.integers(0, 256, (12, 12, 3)).astype(np.uint8),
+             {"cache_bits": 8}),
+        ]:
+            out = decode_webp(encode_vp8l(img, **kw))
+            assert (out == self._rgba(img)).all(), kw
+
+    def test_all_predictor_modes(self):
+        import numpy as np
+
+        from rsoup_spark.ops.vp8l import decode_webp, encode_vp8l
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (12, 17, 3)).astype(np.uint8)
+        for mode in range(14):
+            out = decode_webp(
+                encode_vp8l(img, transform=f"predictor:{mode}"))
+            assert (out == self._rgba(img)).all(), mode
+
+    def test_color_transform_and_palettes(self):
+        import numpy as np
+
+        from rsoup_spark.ops.vp8l import decode_webp, encode_vp8l
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (12, 17, 3)).astype(np.uint8)
+        for deltas in ("16,0,0", "0,16,0", "0,0,16", "250,37,129"):
+            out = decode_webp(
+                encode_vp8l(img, transform=f"color:{deltas}"))
+            assert (out == self._rgba(img)).all(), deltas
+        for ncol in (2, 4, 16, 200):  # packing widths 3, 2, 1, 0
+            vals = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+            pal = vals[rng.integers(0, ncol, (13, 21))]
+            out = decode_webp(encode_vp8l(pal, transform="palette"))
+            assert (out == self._rgba(pal)).all(), ncol
+
+    def test_subtract_green_and_gray(self):
+        import numpy as np
+
+        from rsoup_spark.ops.vp8l import decode_webp, encode_vp8l
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+        out = decode_webp(encode_vp8l(img, transform="subtract_green"))
+        assert (out == self._rgba(img)).all()
+        gray = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        out = decode_webp(encode_vp8l(gray, transform="predictor:11"))
+        assert (out == self._rgba(gray)).all()
+
+    def test_errors_named(self):
+        import pytest as pt
+
+        from rsoup_spark.ops.vp8l import decode_webp
+
+        with pt.raises(ValueError, match="RIFF"):
+            decode_webp(b"not webp")
+        # lossy VP8 chunk: environment-gated, named
+        lossy = (b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00"
+                 b"\x00\x00\x00\x00")
+        with pt.raises(NotImplementedError, match="VP8"):
+            decode_webp(lossy)
+        with pt.raises(ValueError, match="truncated|image chunk"):
+            decode_webp(b"RIFF\x08\x00\x00\x00WEBPVP8L\xff\x00\x00\x00")
+
+    def test_webp_in_decode_image_dispatch(self):
+        import numpy as np
+
+        from rsoup_spark.ops.multimodal import decode_image
+        from rsoup_spark.ops.vp8l import encode_vp8l
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        out = decode_image(encode_vp8l(img))
+        assert out.shape == (8, 8, 4)
+        assert (out[:, :, 0] == img).all()

@@ -1,0 +1,91 @@
+"""WARC ingest (sources/warc.py): writer/parser units + the
+distributed record reader."""
+
+import pytest
+
+
+class TestWarcCodec:
+    def test_roundtrip_gzip_and_plain(self):
+        from rsoup_spark.sources.warc import parse_warc, write_warc
+
+        recs = [
+            {"url": "http://a.test/", "payload": b"<html>hi</html>",
+             "http_status": 200},
+            {"warc_type": "warcinfo", "payload": b"software: x",
+             "content_type": "application/warc-fields"},
+            {"url": "http://b.test/x", "payload": b"\x00\xffbin",
+             "http_status": 404,
+             "http_headers": {"Content-Type": "image/png"}},
+        ]
+        for gz in (True, False):
+            out = parse_warc(write_warc(recs, per_record_gzip=gz))
+            assert [r["warc_type"] for r in out] == \
+                ["response", "warcinfo", "response"]
+            assert out[0]["url"] == "http://a.test/"
+            assert out[0]["http_status"] == 200
+            assert out[0]["mime"] == "text/html"
+            assert out[0]["body"] == b"<html>hi</html>"
+            assert out[1]["http_status"] is None
+            assert out[2]["http_status"] == 404
+            assert out[2]["mime"] == "image/png"
+            assert out[2]["body"] == b"\x00\xffbin"
+
+    def test_deterministic_fixture_bytes(self):
+        from rsoup_spark.sources.warc import write_warc
+
+        recs = [{"url": "http://a.test/", "payload": b"p"}]
+        assert write_warc(recs) == write_warc(recs)
+
+    def test_multi_member_gzip_split(self):
+        """Common Crawl gzips each record as its own member; the reader
+        must walk all members, not stop after the first."""
+        from rsoup_spark.sources.warc import parse_warc, write_warc
+
+        recs = [{"url": f"http://h.test/{i}", "payload": b"x" * i}
+                for i in range(1, 6)]
+        out = parse_warc(write_warc(recs, per_record_gzip=True))
+        assert [len(r["body"]) for r in out] == [1, 2, 3, 4, 5]
+
+    def test_malformed_named(self):
+        from rsoup_spark.sources.warc import parse_warc, write_warc
+
+        with pytest.raises(ValueError, match="gzip"):
+            parse_warc(b"\x1f\x8bnope")
+        with pytest.raises(ValueError, match="WARC version"):
+            parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+        whole = write_warc(
+            [{"url": "http://a.test/", "payload": b"q" * 50}],
+            per_record_gzip=False,
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            parse_warc(whole[:-40])
+
+    @pytest.mark.spark
+    def test_warc_records_dataflow(self, spark):
+        """Archive blobs -> record rows; malformed archives dropped
+        (quarantine semantics), multi-record archives explode."""
+        from pyspark.sql import functions as F
+
+        from rsoup_spark.sources.warc import warc_records, write_warc
+
+        two = write_warc([
+            {"url": "http://a.test/1", "payload": b"one",
+             "http_status": 200},
+            {"url": "http://a.test/2", "payload": b"two22",
+             "http_status": 301},
+        ])
+        rows = [
+            ("arc0", bytearray(two)),
+            ("junk", bytearray(b"not a warc")),
+        ]
+        archives = spark.createDataFrame(rows, "src string, data binary")
+        got = sorted(
+            (r["src"], r["record_idx"], r["url"], r["http_status"],
+             r["n"])
+            for r in warc_records(archives)
+            .withColumn("n", F.length("body")).collect()
+        )
+        assert got == [
+            ("arc0", 0, "http://a.test/1", 200, 3),
+            ("arc0", 1, "http://a.test/2", 301, 5),
+        ]
