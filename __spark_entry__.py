@@ -1526,6 +1526,60 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the time-series join Spark lacks as a
+    built-in): every click event picks up the latest prior purchase by
+    the same user.  Union + keyed-window composition -- one shuffle on
+    user_id, never a per-key inequality join (see ops/relational.py).
+    Purchases are pre-deduped to one row per (user, ts) so the match
+    is deterministic; unmatched clicks keep sentinel values so both
+    engines hash identical non-null columns."""
+    from rsoup_spark.ops.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_event_id", "p_ts", "p_value"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce("p_event_id", F.lit(-1).cast("bigint"))
+        .alias("p_event_id"),
+        F.coalesce(
+            "p_ts", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("p_ts"),
+        F.coalesce("p_value", F.lit(-1.0)).alias("p_value"),
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 relevance top-k over the documents corpus
+    for a fixed query-term set (ppm-scaled rational arithmetic -- both
+    engines agree bit-for-bit; see ops/ranking.py)."""
+    from rsoup_spark.ops.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, terms=("spark", "join", "window"), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -1547,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup_revenue": q_rel_rollup_revenue,
         "set_except_union": q_set_except_union,
         "rel_sessionize": q_rel_sessionize,
+        "rel_asof_join": q_rel_asof_join,
+        "text_bm25": q_text_bm25,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2306,6 +2362,60 @@ SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
        CAST(((d.doc_id * 5 + k.range * 17) % 256) * 1000000 // 255
             AS BIGINT) AS mean_rgb_ppm
 FROM documents d, range(0, 3) k
+""",
+        # DuckDB's native ASOF JOIN is the oracle for the union+window
+        # composition; purchases deduped per (user, ts) on both sides,
+        # sentinel values for unmatched clicks keep columns non-null
+        "rel_asof_join": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id,
+         max_by(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.click_id, c.user_id, c.ts, c.value,
+       COALESCE(p.p_event_id, -1)::BIGINT AS p_event_id,
+       COALESCE(p.p_ts, TIMESTAMP '1970-01-01') AS p_ts,
+       COALESCE(p.p_value, -1.0) AS p_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+""",
+        # integer BM25 (k1=1.2, b=0.75 cleared to ppm rationals; the
+        # same formula as ops/ranking.py, truncating division on both
+        # engines, idf surrogate capped at 1e12)
+        "text_bm25": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         greatest(sum(dl) // count(*), 1)::BIGINT AS avgdl
+  FROM d
+), p AS (
+  SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+  FROM d, unnest(toks) AS u(tok)
+  WHERE tok IN ('spark', 'join', 'window')
+  GROUP BY 1, 2, 3
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM p GROUP BY 1
+), c AS (
+  SELECT p.doc_id,
+         ((tf * 44 * avgdl * 1000000)
+          // (20 * tf * avgdl + 6 * avgdl + 18 * dl))
+         * least(((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1),
+                 1000000000000)
+         // 1000000 AS contrib
+  FROM p JOIN dfs USING (term) CROSS JOIN stats
+)
+SELECT doc_id, sum(contrib)::BIGINT AS score_ppm
+FROM c GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id ASC
+LIMIT 50
 """,
         "densify_ids": """
 SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid,

@@ -87,6 +87,8 @@ def main() -> None:
         "scrub_pii",
         "ext_text_v1",
         "ext_fix_tree",
+        "rel_asof_join",
+        "text_bm25",
     ]
 
     timings: dict[str, float] = {}
