@@ -538,28 +538,9 @@ def q_set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.exceptAll(high).unionByName(low).distinct()
 
 
-def epoch_us_ntz(col) -> F.Column:
-    """Microsecond epoch of a timezone-naive timestamp, naive-as-UTC
-    (DuckDB's ``epoch_us``), computed from pure wall-clock arithmetic.
-
-    events.ts is a timezone-NAIVE parquet timestamp: cast-to-timestamp
-    interprets the wall clock in the *session* timezone, shifting the
-    epoch by the tz offset -- and the from_utc_timestamp round-trip
-    that undoes the shift is NOT invertible for wall times inside the
-    session tz's DST spring-forward gap (02:30 on a US gap day came
-    back one hour high).  This form never touches the session timezone
-    at all, so it is exact for every representable timestamp under ANY
-    session timezone (DST-gap regression pinned in
-    tests/test_oracle_contract.py).
-    """
-    c = col.cast("timestamp_ntz")
-    return (
-        F.unix_date(c.cast("date")).cast("long") * 86_400_000_000
-        + F.hour(c).cast("long") * 3_600_000_000
-        + F.minute(c).cast("long") * 60_000_000
-        + F.second(c).cast("long") * 1_000_000
-        + F.date_format(c, "SSSSSS").cast("long")
-    )
+# DST-proof wall-clock epoch (see the module docstring there; the
+# DST-gap regression stays pinned in tests/test_oracle_contract.py)
+from rsoup_spark.functions.timeutil import epoch_us_ntz  # noqa: E402
 
 
 def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1580,6 +1561,79 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, terms=("spark", "join", "window"), k=50)
 
 
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join rewritten as a binned equi-join: event
+    values land in overlapping fixed-step score bands.  The interval
+    dim is synthesized deterministically (200 half-open bands
+    [i*2.5, i*2.5+4.0) over the value domain) so both engines build
+    the identical table; the join itself hash-partitions on the bin
+    key -- never a nested-loop scan (see ops/relational.py)."""
+    from rsoup_spark.ops.relational import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(0, 200).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 2.5).alias("lo"),
+        (F.col("id") * 2.5 + 4.0).alias("hi"),
+    )
+    return range_join(ev, bands, "value", "lo", "hi", bin_width=2.5)
+
+
+def q_rel_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour/day/week
+    continuous aggregates) in ONE scan via grouping sets; cent-exact
+    integer sums so both engines agree bit-for-bit."""
+    from rsoup_spark.ops.relational import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        ],
+        resolutions=("hour", "day", "week"),
+    )
+
+
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user, 7-day window
+    anchored at the first view: one shuffle + a JVM array fold, never
+    k chained inequality joins (see ops/events.py).  Exact integer
+    epochs, so both engines agree under any session timezone."""
+    from rsoup_spark.ops.events import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], 7 * 86400)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event traffic (md5-derived hash
+    family -> bit-for-bit portable), probed for a fixed key range that
+    includes never-seen users.  Width 64 forces real collisions, so
+    the gate certifies the sketch's collision arithmetic, not just
+    exact counting (see ops/sketch.py)."""
+    from rsoup_spark.ops.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id", depth=3, width=64)
+    keys = spark.range(0, 200).select(F.col("id").alias("user_id"))
+    return cms_estimate(sk, keys, "user_id", depth=3, width=64)
+
+
+def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index with df bounds (stop-term cap = the
+    jaccard df-cap skew guard); posting lists doc-sorted and string-
+    encoded so the layout is engine-portable (see ops/ranking.py)."""
+    from rsoup_spark.ops.ranking import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_postings(docs, min_df=2, max_df=450)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -1602,7 +1656,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_union": q_set_except_union,
         "rel_sessionize": q_rel_sessionize,
         "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
+        "rel_hypertable": q_rel_hypertable,
+        "evt_funnel": q_evt_funnel,
+        "sketch_cms": q_sketch_cms,
         "text_bm25": q_text_bm25,
+        "text_postings": q_text_postings,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2382,6 +2441,104 @@ SELECT c.click_id, c.user_id, c.ts, c.value,
        COALESCE(p.p_value, -1.0) AS p_value
 FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts >= p.p_ts
+""",
+        # the binned equi-join is oracled by the plain inequality
+        # join over the same deterministic band table (both engines
+        # compute i*2.5 in identical binary doubles)
+        "rel_range_join": """
+SELECT e.event_id, e.value, i.band_id, i.lo, i.hi
+FROM events e
+JOIN (SELECT range AS band_id, range * 2.5 AS lo,
+             range * 2.5 + 4.0 AS hi
+      FROM range(0, 200)) i
+  ON e.value >= i.lo AND e.value < i.hi
+""",
+        # one-scan grouping-sets rollup vs the naive UNION ALL of
+        # per-resolution GROUP BYs; floor(value*100) cents so the sum
+        # is integer-exact on both engines
+        "rel_hypertable": """
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_ts,
+       event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, count(*)::BIGINT,
+       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'week', date_trunc('week', ts), event_type, count(*)::BIGINT,
+       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT
+FROM events GROUP BY 2, 3
+""",
+        # the sequential array fold is oracled by chained per-step MIN
+        # CTEs -- equivalent because the fold consumes events in
+        # (ts, step) order with >= (inclusive) matching at equal ts
+        "evt_funnel": """
+WITH f AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), u0 AS (SELECT DISTINCT user_id FROM f),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM f
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT f.user_id, min(f.ts) AS t2
+  FROM f JOIN s1 USING (user_id)
+  WHERE f.event_type = 'click' AND f.ts >= s1.t1
+    AND f.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT f.user_id, min(f.ts) AS t3
+  FROM f JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE f.event_type = 'purchase' AND f.ts >= s2.t2
+    AND f.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT u0.user_id,
+       CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS reached,
+       COALESCE(epoch_us(s1.t1), -1)::BIGINT AS t_first_us
+FROM u0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+""",
+        # identical md5-derived hash family on both engines, so cell
+        # layout, counts, and min-estimates replay bit-for-bit
+        "sketch_cms": """
+WITH c AS (
+  SELECT j AS row,
+         (('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+              || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          % 64)::BIGINT AS cell,
+         count(*)::BIGINT AS cnt
+  FROM events, range(0, 3) t(j) GROUP BY 1, 2
+), q AS (SELECT range AS user_id FROM range(0, 200)),
+p AS (
+  SELECT q.user_id, j AS row,
+         (('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+              || CAST(q.user_id AS VARCHAR)), 1, 15))::UBIGINT
+          % 64)::BIGINT AS cell
+  FROM q, range(0, 3) t(j)
+)
+SELECT p.user_id, min(COALESCE(c.cnt, 0))::BIGINT AS est
+FROM p LEFT JOIN c USING (row, cell) GROUP BY 1
+""",
+        # postings string encoding (doc:tf, doc-sorted) makes the
+        # index layout engine-portable and hashable
+        "text_postings": """
+WITH p AS (
+  SELECT tok AS term, doc_id AS doc, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+       string_agg(doc::VARCHAR || ':' || tf::VARCHAR, ','
+                  ORDER BY doc) AS postings
+FROM p GROUP BY term
+HAVING count(*) >= 2 AND count(*) <= 450
 """,
         # integer BM25 (k1=1.2, b=0.75 cleared to ppm rationals; the
         # same formula as ops/ranking.py, truncating division on both

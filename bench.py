@@ -88,7 +88,12 @@ def main() -> None:
         "ext_text_v1",
         "ext_fix_tree",
         "rel_asof_join",
+        "rel_range_join",
+        "rel_hypertable",
+        "evt_funnel",
+        "sketch_cms",
         "text_bm25",
+        "text_postings",
     ]
 
     timings: dict[str, float] = {}

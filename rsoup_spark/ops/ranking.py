@@ -28,6 +28,54 @@ from pyspark.sql import functions as F
 IDF_CAP = 10**12
 
 
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus inverted index: one row per surviving term with
+    ``(term, df, total_tf, postings)`` where ``postings`` is the
+    doc-id-sorted ``"doc:tf,doc:tf,..."`` posting list.
+
+    This is the corpus-sized complement to :func:`bm25_topk` (whose
+    map-side form is for query-sized term sets): explode to term
+    postings, aggregate twice.  Scale shape: the explode is map-only
+    and rides the scan; shuffle #1 keys on (term, doc) with map-side
+    partial counts; shuffle #2 keys on term and materializes each
+    posting list with ``sort_array(collect_list(struct))`` -- sorted
+    deterministically, encoded as a string so the layout is
+    engine-portable.  ``max_df`` is the same stop-term guard as
+    ``jaccard_pairs``' df cap: a term appearing in half the corpus
+    produces a posting list the size of the corpus, which is a skewed
+    reduce key AND a useless retrieval term -- cap it.  Per-term
+    output rows are bounded by max_df, so no reduce key exceeds that
+    many collected structs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    grouped = per_doc.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc", "tf"))),
+                lambda s: F.concat_ws(":", s["doc"], s["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    out = grouped.where(F.col("df") >= int(min_df))
+    if max_df is not None:
+        out = out.where(F.col("df") <= int(max_df))
+    return out
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: Sequence[str],

@@ -1,0 +1,98 @@
+"""Frequency sketching: a portable count-min sketch.
+
+The sketch hash family is md5-derived (``row | key`` -> top 15 hex
+digits -> mod width), the same engine-portable construction as the
+SimHash/LSH operators: md5 exists everywhere, so the ENTIRE sketch --
+cell layout, counts, estimates -- is reproducible bit-for-bit by any
+other engine, which is what lets the DuckDB oracle certify it and
+what lets sketches built by different systems be merged.
+
+Scale shape: building is one aggregation whose map-side partial
+collapses every partition to <= depth*width cells before the
+exchange, so the shuffle is SKETCH-sized (d*w rows), not data-sized
+-- the whole point of sketching 100 TB.  Estimation broadcasts the
+sketch (d*w cells, e.g. 4*65536 = 2^18 rows max by construction) and
+is a map-only join.  Sketches over different partitions/days merge by
+cell-wise SUM, so incremental maintenance is a union + re-aggregate
+of sketch tables, never a re-scan of history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(row: F.Column, key: F.Column, width: int) -> F.Column:
+    """Engine-portable hash cell: md5('<row>|<key>') top-60-bit int
+    mod width (60 bits keeps the conv() result positive in a signed
+    64-bit long on every engine)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(row.cast("string"), F.lit("|"), key)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col`` (optionally weighted):
+    ``(row, cell, cnt)`` with one record per non-empty cell.
+
+    Keys are hashed as strings (cast explicitly for cross-engine
+    stability).  ``depth`` rows of ``width`` cells bound the
+    overestimate: with total weight W, the estimate error is
+    <= 2W/width with probability 1 - 2^-depth (Cormode & Muthukrishnan
+    2005).  Empty cells are implicit zeros -- ``cms_estimate``
+    coalesces them -- so the sketch table stays <= depth*width rows.
+    """
+    key = F.col(key_col).cast("string")
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(
+        weight_col
+    ).cast("bigint")
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+        key.alias("__k"),
+        w.alias("__w"),
+    )
+    return (
+        rows.select(
+            "row", _cell(F.col("row"), F.col("__k"), width).alias("cell"),
+            "__w",
+        )
+        .groupBy("row", "cell")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the key
+    columns plus ``est`` = min over sketch rows of the hashed cell's
+    count (the count-min estimator; >= true count, never under).
+    Missing cells count as zero, so keys never seen estimate 0 unless
+    every row collides with observed traffic.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    ).withColumn("cell", _cell(F.col("row"), key, width))
+    joined = probes.join(F.broadcast(sketch), on=["row", "cell"], how="left")
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -213,8 +213,17 @@ class TestPngCodec:
         # JPEG now decodes; a truncated one is malformed, not gated
         with pt.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        # WebP now routes to the VP8L codec: a header-only RIFF is
+        # malformed (truncated), a well-formed LOSSY chunk is the
+        # named env gate, and non-RIFF formats keep the generic gate
+        with pt.raises(ValueError, match="without image chunk"):
+            decode_image(b"RIFF\x04\x00\x00\x00WEBP")
+        lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+                 + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+        with pt.raises(NotImplementedError, match="lossy"):
+            decode_image(lossy)
         with pt.raises(NotImplementedError, match="non-PNG"):
-            decode_image(b"RIFF....WEBPVP8 ")
+            decode_image(b"\x00\x00\x00\x1cftypavif....")
 
         for depth, color, inter, msg in (
             (8, 3, 0, "PLTE"),        # palette without a palette chunk
