@@ -1624,6 +1624,17 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sk, keys, "user_id", depth=3, width=64)
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count register sketch over event ids (64 registers,
+    trailing-zero rank = pure integer arithmetic, so the full
+    register table replays bit-for-bit in SQL; the float estimation
+    step stays a separate library call -- see ops/sketch.py)."""
+    from rsoup_spark.ops.sketch import hll_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_build(ev, "event_id", p=6)
+
+
 def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus inverted index with df bounds (stop-term cap = the
     jaccard df-cap skew guard); posting lists doc-sorted and string-
@@ -1660,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_hypertable": q_rel_hypertable,
         "evt_funnel": q_evt_funnel,
         "sketch_cms": q_sketch_cms,
+        "sketch_hll": q_sketch_hll,
         "text_bm25": q_text_bm25,
         "text_postings": q_text_postings,
         "text_stats": q_text_stats,
@@ -2448,8 +2460,8 @@ FROM c ASOF LEFT JOIN p
         "rel_range_join": """
 SELECT e.event_id, e.value, i.band_id, i.lo, i.hi
 FROM events e
-JOIN (SELECT range AS band_id, range * 2.5 AS lo,
-             range * 2.5 + 4.0 AS hi
+JOIN (SELECT range AS band_id, range * 2.5::DOUBLE AS lo,
+             range * 2.5::DOUBLE + 4.0::DOUBLE AS hi
       FROM range(0, 200)) i
   ON e.value >= i.lo AND e.value < i.hi
 """,
@@ -2523,6 +2535,21 @@ p AS (
 )
 SELECT p.user_id, min(COALESCE(c.cnt, 0))::BIGINT AS est
 FROM p LEFT JOIN c USING (row, cell) GROUP BY 1
+""",
+        # trailing-zero rank is pure integer arithmetic on both
+        # engines (bit_count((rest & -rest) - 1)); suffix is 54 bits
+        # at p=6, so an all-zero suffix ranks 55
+        "sketch_hll": """
+WITH h AS (
+  SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+          ::UBIGINT)::BIGINT AS h
+  FROM events
+), b AS (SELECT h % 64 AS reg, h // 64 AS rest FROM h)
+SELECT reg::BIGINT AS reg,
+       max(CASE WHEN rest = 0 THEN 55
+                ELSE bit_count((rest & -rest) - 1) + 1
+           END)::INTEGER AS max_rho
+FROM b GROUP BY 1
 """,
         # postings string encoding (doc:tf, doc-sorted) makes the
         # index layout engine-portable and hashable

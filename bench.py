@@ -92,6 +92,7 @@ def main() -> None:
         "rel_hypertable",
         "evt_funnel",
         "sketch_cms",
+        "sketch_hll",
         "text_bm25",
         "text_postings",
     ]

@@ -73,6 +73,71 @@ def cms_build(
     )
 
 
+def hll_build(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """Distinct-count register sketch: ``(reg, max_rho)`` with
+    ``2**p`` registers, HyperLogLog-shaped but with the rank taken
+    from the TRAILING-zero count of the md5-derived hash suffix
+    (Flajolet-Martin style).  For a uniform hash, trailing and
+    leading zero counts are identically geometrically distributed, so
+    the HLL estimator applies unchanged -- trailing zeros are chosen
+    because ``bit_count((h & -h) - 1)`` is pure integer arithmetic
+    that every engine reproduces bit-for-bit (no float log2), which
+    keeps the whole register table oracle-checkable.
+
+    Scale shape: same as :func:`cms_build` -- map-side partial MAX
+    collapses each partition to <= 2**p registers before the
+    exchange, so the shuffle is sketch-sized regardless of input
+    size.  Sketches merge by elementwise register MAX (tested), so
+    per-partition / per-day sketches compose without rescanning.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    suffix_bits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # integer DIV, never `/`: float division would round 60-bit
+    # hashes through a 53-bit mantissa
+    base = df.select(h.alias("__h")).select(
+        F.pmod(F.col("__h"), F.lit(m)).alias("reg"),
+        F.expr(f"__h DIV {m}L").alias("rest"),
+    )
+    rho = F.when(
+        F.col("rest") == 0, F.lit(suffix_bits + 1)
+    ).otherwise(
+        F.bit_count(F.expr("(rest & -rest) - 1")) + F.lit(1)
+    )
+    return (
+        base.select("reg", rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Cardinality estimate from a :func:`hll_build` register table
+    (driver-side scalar; the register table is <= 2**p rows by
+    construction).  Standard HLL harmonic mean with the small-range
+    linear-counting correction; relative error ~= 1.04 / sqrt(2**p).
+    Estimation is deliberately separate from the (bit-exact,
+    oracle-checkable) register build."""
+    m = 1 << p
+    # bounded: <= 2**p rows by construction
+    regs = {r["reg"]: r["max_rho"] for r in registers.collect()}
+    zeros = m - len(regs)
+    s = sum(2.0 ** -v for v in regs.values()) + zeros
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.709 if m == 64 else 0.697 if m == 32 else 0.673
+    )
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros:
+        import math
+
+        est = m * math.log(m / zeros)
+    return est
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

@@ -112,6 +112,40 @@ def test_cms_weighted_and_mergeable(spark):
 
 
 @pytest.mark.spark
+def test_hll_estimate_within_error_bounds(spark):
+    """Relative error stays within ~3x the theoretical 1.04/sqrt(m)
+    standard error across two decades of cardinality."""
+    from rsoup_spark.ops.sketch import hll_build, hll_estimate
+
+    for n, p in ((300, 8), (10000, 8)):
+        df = spark.range(0, n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        est = hll_estimate(hll_build(df, "k", p=p), p=p)
+        tol = 3 * 1.04 / (1 << p) ** 0.5
+        assert abs(est - n) / n < tol, (n, p, est)
+
+
+@pytest.mark.spark
+def test_hll_registers_merge_by_max(spark):
+    """Register table of a union == elementwise MAX of the parts'
+    register tables -- the merge law distributed builds rely on."""
+    from rsoup_spark.ops.sketch import hll_build
+
+    a = spark.range(0, 400).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(200, 700).select(F.col("id").cast("string").alias("k"))
+    whole = hll_build(a.unionByName(b), "k", p=5)
+    merged = (
+        hll_build(a, "k", p=5)
+        .unionByName(hll_build(b, "k", p=5))
+        .groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    as_map = lambda df: {r.reg: r.max_rho for r in df.collect()}  # noqa: E731
+    assert as_map(whole) == as_map(merged)
+
+
+@pytest.mark.spark
 def test_postings_layout_and_df_bounds(spark):
     docs = spark.createDataFrame(
         [(10, "a b a"), (2, "b c a"), (3, "a"), (4, "c")],
