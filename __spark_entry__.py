@@ -1624,6 +1624,80 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sk, keys, "user_id", depth=3, width=64)
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: the batch fold's (reached, t0) accumulator
+    carried across micro-batches by applyInPandasWithState.
+
+    Micro-batches are three contiguous TIME buckets (fixed decade-of-
+    January cutoffs) written as separate files with explicitly
+    increasing mtimes, so the file source replays them oldest-first
+    and the streaming scan is the batch scan checkpointed twice; the
+    oracle is therefore the same chained-MIN SQL as evt_funnel plus a
+    per-user count of state emissions (== the user's distinct time
+    buckets -- statefulness evidence, a reset would repeat or lose
+    anchor state and break reached/t_first_us)."""
+    import os
+    import time
+
+    from rsoup_spark.streaming.funnel_stream import funnel_state
+
+    steps = ["view", "click", "purchase"]
+    base = _scratch("stream_funnel")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    step_idx = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col("event_type")
+    ).cast("int") - 1
+    bucket = (
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp_ntz"), 0)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp_ntz"), 1)
+        .otherwise(2)
+    )
+    prepared = ev.where(F.col("event_type").isin(steps)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        epoch_us_ntz(F.col("ts")).alias("t_us"),
+        step_idx.alias("s"),
+        bucket.alias("b"),
+    )
+    now = time.time()
+    for b in (0, 1, 2):
+        sub = os.path.join(in_dir, f"b={b}")
+        prepared.where(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for fn in os.listdir(sub):
+            p = os.path.join(sub, fn)
+            os.utime(p, (now + 30 * b, now + 30 * b))
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("user_id", "t_us", "s")
+    )
+    q = (
+        funnel_state(stream, n_steps=len(steps), window_seconds=7 * 86400)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_state_rows"),
+        F.max("reached").alias("reached"),
+        F.max("t_first_us").alias("t_first_us"),
+    )
+
+
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count register sketch over event ids (64 registers,
     trailing-zero rank = pure integer arithmetic, so the full
@@ -1670,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "rel_hypertable": q_rel_hypertable,
         "evt_funnel": q_evt_funnel,
+        "stream_funnel": q_stream_funnel,
         "sketch_cms": q_sketch_cms,
         "sketch_hll": q_sketch_hll,
         "text_bm25": q_text_bm25,
@@ -2535,6 +2610,44 @@ p AS (
 )
 SELECT p.user_id, min(COALESCE(c.cnt, 0))::BIGINT AS est
 FROM p LEFT JOIN c USING (row, cell) GROUP BY 1
+""",
+        # streaming == batch because the checkpointed fold over time-
+        # ordered micro-batches IS the batch fold; n_state_rows counts
+        # the user's distinct time buckets (one state emission each)
+        "stream_funnel": """
+WITH f AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), bk AS (
+  SELECT user_id,
+         count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                             WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                             ELSE 2 END)::BIGINT AS n_state_rows
+  FROM f GROUP BY 1
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM f
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT f.user_id, min(f.ts) AS t2
+  FROM f JOIN s1 USING (user_id)
+  WHERE f.event_type = 'click' AND f.ts >= s1.t1
+    AND f.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT f.user_id, min(f.ts) AS t3
+  FROM f JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE f.event_type = 'purchase' AND f.ts >= s2.t2
+    AND f.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT bk.user_id, bk.n_state_rows,
+       CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS reached,
+       COALESCE(epoch_us(s1.t1), -1)::BIGINT AS t_first_us
+FROM bk LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
 """,
         # trailing-zero rank is pure integer arithmetic on both
         # engines (bit_count((rest & -rest) - 1)); suffix is 54 bits
