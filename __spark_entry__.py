@@ -1719,6 +1719,101 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(docs, min_df=2, max_df=450)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: the batch gap-split scan
+    (q_rel_sessionize's >30-min rule) carried across micro-batches by
+    applyInPandasWithState (streaming/session_stream.py).
+
+    Micro-batches are the same three contiguous TIME buckets as
+    stream_funnel (fixed decade-of-January cutoffs, mtime-ordered
+    files, one per trigger), so the streaming scan is the batch scan
+    checkpointed twice.  Each batch emits cumulative snapshots of the
+    sessions it touched; the final MAX-aggregate equals the batch
+    result, and n_batches (snapshot emissions per session) equals the
+    session's distinct time buckets -- statefulness evidence: a state
+    reset between batches would restart session numbering and shift
+    every later session_no and bound."""
+    import os
+    import time
+
+    from rsoup_spark.streaming.session_stream import sessionize_state
+
+    base = _scratch("stream_sessionize")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp_ntz"), 0)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp_ntz"), 1)
+        .otherwise(2)
+    )
+    prepared = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        epoch_us_ntz(F.col("ts")).alias("t_us"),
+        bucket.alias("b"),
+    )
+    now = time.time()
+    for b in (0, 1, 2):
+        sub = os.path.join(in_dir, f"b={b}")
+        prepared.where(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for fn in os.listdir(sub):
+            p = os.path.join(sub, fn)
+            os.utime(p, (now + 30 * b, now + 30 * b))
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("user_id", "event_id", "t_us")
+    )
+    q = (
+        sessionize_state(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_batches"),
+        F.max("n_events").alias("n_events"),
+        F.max("start_us").alias("session_start_us"),
+        F.max("end_us").alias("session_end_us"),
+    )
+
+
+def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (ops/graph.py:anchor_text_agg): per-
+    target in-link counts, dominant anchor, and capped top-anchor
+    list over a deterministic synthetic link graph (doc i -> i+k for
+    k in {1,3,7}, anchor = source doc's lang -- langs repeat, so
+    counts exceed 1 and the dominance tie-break is exercised).
+    max_anchors=2 binds on 3-anchor targets, so the cap semantics are
+    gate-checked too."""
+    from rsoup_spark.ops.graph import anchor_text_agg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+    offsets = [1, 3, 7]
+    e = docs.select(
+        F.col("id").alias("src"),
+        F.col("lang").alias("anchor"),
+        F.explode(F.array(*[F.col("id") + k for k in offsets])).alias("dst"),
+    ).join(docs.select(F.col("id").alias("dst")), "dst")
+    return anchor_text_agg(e, max_anchors=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -1786,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "densify_ids": q_densify_ids,
         "stream_dedup": q_stream_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "graph_anchor_text": q_graph_anchor_text,
         "ext_text_v1": q_ext_text_v1,
         "ext_fix_tree": q_ext_fix_tree,
     }
@@ -2650,6 +2747,70 @@ FROM bk LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
 """,
         # trailing-zero rank is pure integer arithmetic on both
+        # the batch sessionize SQL plus the stream_funnel bucket
+        # cutoffs: n_batches = distinct buckets the session spans,
+        # which must equal the stream's per-session snapshot count
+        "stream_sessionize": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no,
+         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+              WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+              ELSE 2 END AS bucket
+  FROM gaps
+)
+SELECT user_id, session_no,
+       count(DISTINCT bucket)::BIGINT AS n_batches,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM sess
+GROUP BY user_id, session_no
+""",
+        # same synthetic edge rule as graph_pagerank, anchors = source
+        # lang; top-anchor and the capped list order by (count DESC,
+        # anchor ASC) -- the deterministic tie-break the engine's
+        # struct-ordering min()/array_sort() encode
+        "graph_anchor_text": """
+WITH n AS (SELECT doc_id AS id, lang FROM documents),
+e AS (
+  SELECT s.id AS src, s.id + k.k AS dst, s.lang AS anchor
+  FROM n s, (VALUES (1), (3), (7)) k(k)
+  WHERE s.id + k.k IN (SELECT id FROM n)
+),
+pa AS (
+  SELECT dst, anchor, count(*)::BIGINT AS cnt FROM e GROUP BY dst, anchor
+),
+rk AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM pa
+),
+tops AS (
+  SELECT dst, string_agg(anchor, '|' ORDER BY cnt DESC, anchor ASC)
+           AS anchors
+  FROM rk WHERE rn <= 2 GROUP BY dst
+),
+t1 AS (SELECT dst, anchor AS top_anchor FROM rk WHERE rn = 1),
+agg AS (
+  SELECT dst, count(*)::BIGINT AS n_inlinks,
+         count(DISTINCT src)::BIGINT AS n_sources,
+         count(DISTINCT anchor)::BIGINT AS n_anchors
+  FROM e GROUP BY dst
+)
+SELECT agg.dst, n_inlinks, n_sources, n_anchors, top_anchor, anchors
+FROM agg JOIN t1 USING (dst) JOIN tops USING (dst)
+""",
         # engines (bit_count((rest & -rest) - 1)); suffix is 54 bits
         # at p=6, so an all-zero suffix ranks 55
         "sketch_hll": """

@@ -95,6 +95,7 @@ def main() -> None:
         "sketch_hll",
         "text_bm25",
         "text_postings",
+        "graph_anchor_text",
     ]
 
     timings: dict[str, float] = {}

@@ -78,3 +78,80 @@ def pagerank_int(
         "pr_scaled",
         F.round(F.col("pr_scaled") / F.lit(float(scale)), 6).alias("pr"),
     )
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    max_anchors: int = 16,
+    sep: str = "|",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over a harvested link graph
+    -- the classic web-IR signal (anchor text describes the *target*
+    page better than the target's own text) and a training-data
+    labeler for crawled corpora.  From-scratch: rsoup harvests
+    ``(href, anchor)`` pairs (models/rich_text cell links) but has no
+    cross-document aggregation; this is the crawl graft's consumer of
+    ``links_from_spans`` output after URL canonicalization.
+
+    For each distinct target URL: total in-link count, distinct
+    source count, distinct anchor-string count, the dominant anchor
+    (most frequent, ties broken lexicographically ascending -- fully
+    deterministic), and the top ``max_anchors`` anchors joined by
+    ``sep`` in (count desc, anchor asc) order.
+
+    Scale shape: the first aggregation keys on (dst, anchor) with
+    map-side partial combine, so a hub URL with millions of in-links
+    carrying boilerplate anchors ("home", "click here") collapses to
+    its distinct-anchor cardinality before the shuffle; the anchor
+    list is capped at ``max_anchors`` so output rows stay bounded no
+    matter how adversarial the anchor diversity (the same bounded-
+    output discipline as jaccard_pairs' df cap).  The distinct-source
+    count is a second shuffle on the same dst key.  No collects, no
+    Python in the hot path -- struct-ordering min() picks the
+    dominant anchor JVM-side.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(anchor_col).alias("anchor"),
+    )
+    # (dst, anchor) partial counts: the skew-killing pre-aggregation
+    pa = e.groupBy("dst", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # negated count makes lexicographic struct ordering = (count
+    # desc, anchor asc), so min()/array_sort() are deterministic
+    ranked = pa.select(
+        "dst",
+        "cnt",
+        F.struct(
+            (-F.col("cnt")).alias("nc"), F.col("anchor").alias("a")
+        ).alias("key"),
+    )
+    agg = ranked.groupBy("dst").agg(
+        F.sum("cnt").alias("n_inlinks"),
+        F.count("*").alias("n_anchors"),
+        F.min("key").getField("a").alias("top_anchor"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("key")), 1, max_anchors
+                ),
+                lambda x: x.getField("a"),
+            ),
+            sep,
+        ).alias("anchors"),
+    )
+    srcs = (
+        e.select("dst", "src")
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count("*").alias("n_sources"))
+    )
+    return agg.join(srcs, "dst").select(
+        "dst", "n_inlinks", "n_sources", "n_anchors", "top_anchor",
+        "anchors",
+    )

@@ -109,3 +109,56 @@ def test_sample_bucket_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.spark
+def test_anchor_text_agg_hand_computed(spark):
+    """Hub target with boilerplate anchors: dominance, lexicographic
+    tie-break, the max_anchors cap, and distinct-source counting
+    (one source linking twice counts once in n_sources, twice in
+    n_inlinks)."""
+    from rsoup_spark.ops.graph import anchor_text_agg
+
+    edges = spark.createDataFrame(
+        [
+            # hub "T": 3x "home", 2x "start", 1x "портал" -- six
+            # in-links from five sources (s1 links twice)
+            ("s1", "T", "home"),
+            ("s1", "T", "home"),
+            ("s2", "T", "home"),
+            ("s3", "T", "start"),
+            ("s4", "T", "start"),
+            ("s5", "T", "портал"),
+            # "U": a pure count tie -- lexicographic ascending wins
+            ("s1", "U", "beta"),
+            ("s2", "U", "alpha"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    got = {
+        r["dst"]: r for r in anchor_text_agg(edges, max_anchors=2).collect()
+    }
+    t = got["T"]
+    assert (t["n_inlinks"], t["n_sources"], t["n_anchors"]) == (6, 5, 3)
+    assert t["top_anchor"] == "home"
+    # cap binds: only the top two of the three anchors survive,
+    # ordered (count desc, anchor asc)
+    assert t["anchors"] == "home|start"
+    u = got["U"]
+    assert u["top_anchor"] == "alpha"
+    assert u["anchors"] == "alpha|beta"
+
+
+@pytest.mark.spark
+def test_anchor_text_agg_plan_shape(spark):
+    """The skew guard: the (dst, anchor) pre-aggregation carries a
+    map-side partial before the shuffle, and no Python UDF appears
+    anywhere in the plan."""
+    from rsoup_spark.ops.graph import anchor_text_agg
+
+    edges = spark.createDataFrame(
+        [("a", "t", "x")], "src string, dst string, anchor string"
+    )
+    plan = anchor_text_agg(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
