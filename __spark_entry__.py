@@ -1792,6 +1792,50 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the dataflow: the pixel_stats gradient
+    corpus (16x8 grayscale, row y = (doc_id + y) % 256) downsampled
+    4x4 by nearest-neighbor (ops/multimodal.py:resize_image), so the
+    resampled rows are exactly y' -> (doc_id + 4*y') % 256 and the
+    resized mean is analytic for the oracle -- green only if decode
+    AND the index-picking resample are pixel-exact."""
+    import pandas as pd
+
+    from rsoup_spark.ops.multimodal import resize_image
+    from rsoup_spark.ops.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "data": [
+                        encode_png(
+                            ((np.arange(16)[:, None] + i) % 256)
+                            .astype(np.uint8)
+                            .repeat(8, axis=1)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id string, data binary")
+    out = resize_image(media, width=4, height=4, method="nearest")
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.col("mean_ppm")[0].cast("long").alias("mean_ppm0"),
+    )
+
+
 def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (ops/graph.py:anchor_text_agg): per-
     target in-link counts, dominant anchor, and capped top-anchor
@@ -1883,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
         "graph_anchor_text": q_graph_anchor_text,
+        "multimodal_resize": q_multimodal_resize,
         "ext_text_v1": q_ext_text_v1,
         "ext_fix_tree": q_ext_fix_tree,
     }
@@ -2515,6 +2560,17 @@ SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
        CAST((SELECT SUM((d.doc_id + g.range) % 256)
              FROM range(0, 16) g) * 8 * 1000000
             // (16 * 8 * 255) AS BIGINT) AS mean_ppm0
+FROM documents d
+""",
+        # nearest-neighbor picks rows 0,4,8,12 and any 4 of the 8
+        # identical columns, so the resized mean is the 4-row analytic
+        # sum; same integer-ppm floor arithmetic as pixel_stats
+        "multimodal_resize": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+       4 AS width, 4 AS height, 1 AS channels,
+       CAST((SELECT SUM((d.doc_id + 4 * g.range) % 256)
+             FROM range(0, 4) g) * 4 * 1000000
+            // (4 * 4 * 255) AS BIGINT) AS mean_ppm0
 FROM documents d
 """,
         # the engine LZW-decodes actual animated GIF bytes; the oracle

@@ -96,6 +96,7 @@ def main() -> None:
         "text_bm25",
         "text_postings",
         "graph_anchor_text",
+        "multimodal_resize",
     ]
 
     timings: dict[str, float] = {}

@@ -263,6 +263,106 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        # per-channel mean of the RESIZED pixels, ppm (floor): the
+        # gate-checkable proof the resample ran on real pixel values
+        StructField("mean_ppm", ArrayType(LongType(), False), False),
+        StructField("data", BinaryType(), True),
+    ]
+)
+
+
+def resize_image(
+    media: DataFrame,
+    width: int,
+    height: int,
+    method: str = "nearest",
+    reencode: bool = False,
+) -> DataFrame:
+    """Decode image blobs, resample to ``width`` x ``height``, and
+    emit the resized dimensions plus per-channel mean (integer ppm)
+    of the resampled pixels -- completing the multimodal pipeline's
+    decode / feature-extract / resize / frame-sample quartet.  With
+    ``reencode=True`` the resized image is also re-encoded to PNG in
+    the ``data`` column (a real thumbnail transform); the default
+    keeps bytes out of the output so stats-only consumers don't pay
+    encode cost or shuffle blobs.
+
+    ``method='nearest'``: index-picking (``src = floor(dst * n /
+    n')``), works for any target size, up or down.  ``method='box'``:
+    exact mean pooling for integer downscale factors (raises
+    ``ValueError`` executor-side otherwise) -- the anti-aliasing
+    choice for thumbnail pyramids.  Both are pure integer/numpy, so
+    outputs replay exactly in an analytic oracle; no codec libraries.
+
+    Same Arrow-batched ``mapInPandas`` shape as
+    :func:`image_pixel_stats`: map-only, scan-parallel, byte-bounded
+    batches, undecodable blobs dropped (quarantine-sink semantics).
+    """
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown resize method: {method}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rsoup_spark.ops.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    img = decode_image(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, ch = img.shape
+                if method == "nearest":
+                    iy = (np.arange(height) * h) // height
+                    ix = (np.arange(width) * w) // width
+                    out = img[iy][:, ix]
+                else:  # box: exact mean pool, integer factors only
+                    if h % height or w % width:
+                        raise ValueError(
+                            f"box resize needs integer factors, got "
+                            f"{h}x{w} -> {height}x{width}"
+                        )
+                    fy, fx = h // height, w // width
+                    out = (
+                        img.reshape(height, fy, width, fx, ch)
+                        .astype(np.int64)
+                        .sum(axis=(1, 3))
+                        // (fy * fx)
+                    ).astype(img.dtype)
+                maxv = 65535 if img.dtype == np.uint16 else 255
+                sums = out.astype(np.int64).sum(axis=(0, 1))
+                n = height * width
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": width,
+                        "height": height,
+                        "channels": ch,
+                        "mean_ppm": [
+                            int(s) * 1_000_000 // (n * maxv) for s in sums
+                        ],
+                        "data": encode_png(out[:, :, 0] if ch == 1 else out)
+                        if reencode
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "mean_ppm", "data"],
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def audio_stats(media: DataFrame) -> DataFrame:
     """Decode PCM WAV blobs (``ops.wav``) and emit per-clip sample
     statistics: rate, sample/channel counts, integer duration, and the

@@ -361,6 +361,72 @@ class TestPngCodec:
         assert extract_features(media).count() == 3
         assert media_fingerprint(media).count() == 3
 
+    def test_resize_image_nearest_box_and_reencode(self, spark):
+        """Hand-computed resize semantics: nearest picks src = floor(
+        dst*n/n'), box is the exact mean pool, reencode emits a PNG
+        whose decoded pixels equal the resample; non-integer box
+        factors and junk blobs drop rows (quarantine semantics)."""
+        import numpy as np
+
+        from rsoup_spark.ops.multimodal import resize_image
+        from rsoup_spark.ops.png import decode_png, encode_png
+
+        # 4x4 grayscale with distinct quadrant values
+        img = np.array(
+            [[0, 0, 10, 10],
+             [0, 0, 10, 10],
+             [20, 20, 40, 40],
+             [20, 20, 40, 40]], dtype=np.uint8)
+        rgb = np.stack([img, img + 1, img + 2], axis=2).astype(np.uint8)
+        media = spark.createDataFrame(
+            [("g", bytearray(encode_png(img))),
+             ("c", bytearray(encode_png(rgb))),
+             ("junk", bytearray(b"NOPE"))],
+            "media_id string, data binary",
+        )
+
+        # nearest 4x4 -> 2x2 picks rows/cols 0,2 -> [[0,10],[20,40]]
+        near = {r["media_id"]: r.asDict()
+                for r in resize_image(media, 2, 2).collect()}
+        assert set(near) == {"g", "c"}
+        assert (near["g"]["width"], near["g"]["height"]) == (2, 2)
+        assert near["g"]["mean_ppm"] == [
+            (0 + 10 + 20 + 40) * 1_000_000 // (4 * 255)]
+        assert near["c"]["channels"] == 3
+        assert near["c"]["mean_ppm"][1] == \
+            (0 + 10 + 20 + 40 + 4) * 1_000_000 // (4 * 255)
+
+        # box 4x4 -> 2x2 averages each quadrant exactly
+        box = {r["media_id"]: r.asDict()
+               for r in resize_image(media, 2, 2, method="box").collect()}
+        assert box["g"]["mean_ppm"] == [
+            (0 + 10 + 20 + 40) * 1_000_000 // (4 * 255)]
+
+        # nearest upscale 4x4 -> 8x8 repeats every pixel 2x2: same mean
+        up = {r["media_id"]: r.asDict()
+              for r in resize_image(media, 8, 8).collect()}
+        assert up["g"]["mean_ppm"] == [
+            (0 + 0 + 10 + 10 + 0 + 0 + 10 + 10
+             + 20 + 20 + 40 + 40 + 20 + 20 + 40 + 40)
+            * 4 * 1_000_000 // (64 * 255)]
+
+        # reencode: the data column is a decodable PNG of the resample
+        re = {r["media_id"]: r.asDict()
+              for r in resize_image(media, 2, 2, reencode=True).collect()}
+        assert np.array_equal(
+            decode_png(bytes(re["g"]["data"])),
+            np.array([[0, 10], [20, 40]], dtype=np.uint8),
+        )
+        got_rgb = decode_png(bytes(re["c"]["data"]))
+        assert got_rgb.shape == (2, 2, 3) and got_rgb[1, 1, 2] == 42
+
+        # box with a non-integer factor raises executor-side
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import PythonException
+
+        with _pytest.raises(PythonException, match="integer factors"):
+            resize_image(media, 3, 3, method="box").collect()
+
 
 class TestGifCodec:
     """Pure-Python GIF LZW codec (ops/gif.py): roundtrip, animation
