@@ -1189,6 +1189,77 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SITEMAP_CFS = ("always", "hourly", "daily", "weekly", "monthly",
+                "yearly", "never")
+
+
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingest (sources/sitemap.py): one sitemaps.org file per
+    doc -- every 5th doc a <sitemapindex> (2 child sitemaps), the rest
+    <urlset>s of 1-3 URLs with lastmod/changefreq/priority; every even
+    doc gzipped (.xml.gz).  Parsed back through the distributed entry
+    reader; the oracle restates the entry rows analytically -- any
+    gzip, XML, namespace, or field-coercion error goes red."""
+    import pandas as pd
+
+    from rsoup_spark.sources.sitemap import sitemap_entries, write_sitemap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"src": [], "data": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                lastmod = f"2026-01-{i % 28 + 1:02d}"
+                gz = i % 2 == 0
+                if i % 5 == 0:
+                    data = write_sitemap(
+                        [{"loc":
+                          f"http://site{i % 97}.test/sitemap-{j}.xml.gz",
+                          "lastmod": lastmod} for j in range(2)],
+                        index=True, gzipped=gz)
+                else:
+                    data = write_sitemap(
+                        [{"loc":
+                          f"http://www.site{i % 97}.test/page/{i}/{j}",
+                          "lastmod": lastmod,
+                          "changefreq": _SITEMAP_CFS[(i + j) % 7],
+                          "priority": ((i + j) % 11) / 10.0}
+                         for j in range(1 + i % 3)],
+                        gzipped=gz)
+                rows["src"].append(
+                    f"sm/{i}" + (".xml.gz" if gz else ".xml"))
+                rows["data"].append(data)
+            yield pd.DataFrame(rows)
+
+    files = docs.mapInPandas(synth, "src string, data binary")
+    return sitemap_entries(files)
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (sources/cdx.py): capture rows synthesized
+    from documents with pure JVM expressions (URLs exercising www-strip,
+    host reversal, non-default ports, and query-parameter sorting),
+    SURT-keyed and range-ordered by cdx_index.  The oracle restates the
+    SURT analytically from doc_id."""
+    from rsoup_spark.sources.cdx import cdx_index
+
+    d = F.col("doc_id")
+    caps = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://www.sub"), (d % 7).cast("string"),
+            F.lit(".site"), (d % 97).cast("string"), F.lit(".test"),
+            F.when(d % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p/"), d.cast("string"),
+            F.lit("?b="), (d % 5).cast("string"),
+            F.lit("&a="), (d % 3).cast("string"),
+        ).alias("url"),
+        (F.lit(20260000) + d).cast("long").alias("ts"),
+    )
+    return cdx_index(caps, shards=8).select("surt", "ts", "url")
+
+
 def q_multimodal_jpeg_progressive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG decode in the dataflow: one 8x8 constant
@@ -1930,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "ext_text_v1": q_ext_text_v1,
         "ext_fix_tree": q_ext_fix_tree,
+        "sitemap_ingest": q_sitemap_ingest,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -2614,6 +2687,54 @@ SELECT 'http://site' || CAST(doc_id % 97 AS VARCHAR)
          AS http_status,
        'text/html' AS mime,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+        # the engine gunzips + XML-parses real sitemaps.org bytes; the
+        # oracle restates the synthesized entries from documents
+        "sitemap_ingest": """
+WITH g AS (SELECT CAST(range AS INT) AS j FROM range(0, 3))
+SELECT 'sm/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.xml.gz' ELSE '.xml' END AS src,
+       g.j AS entry_idx,
+       'url' AS kind,
+       'http://www.site' || CAST(doc_id % 97 AS VARCHAR) || '.test/page/'
+         || CAST(doc_id AS VARCHAR) || '/' || CAST(g.j AS VARCHAR) AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       (['always','hourly','daily','weekly','monthly','yearly','never'])
+         [CAST((doc_id + g.j) % 7 AS INT) + 1] AS changefreq,
+       CAST((doc_id + g.j) % 11 AS DOUBLE) / 10 AS priority
+FROM documents JOIN g ON g.j < 1 + doc_id % 3
+WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT 'sm/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.xml.gz' ELSE '.xml' END,
+       g.j, 'sitemap',
+       'http://site' || CAST(doc_id % 97 AS VARCHAR) || '.test/sitemap-'
+         || CAST(g.j AS VARCHAR) || '.xml.gz',
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM documents JOIN g ON g.j < 2
+WHERE doc_id % 5 = 0
+""",
+        # the engine computes SURT keys with JVM expressions and
+        # range-orders the index; the oracle restates the key from the
+        # synthesized URL shape (www stripped, host reversed, port
+        # kept, query params sorted)
+        "cdx_index": """
+SELECT 'test,site' || CAST(doc_id % 97 AS VARCHAR)
+         || ',sub' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END
+         || ')/p/' || CAST(doc_id AS VARCHAR)
+         || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+         || '&b=' || CAST(doc_id % 5 AS VARCHAR) AS surt,
+       CAST(20260000 + doc_id AS BIGINT) AS ts,
+       'https://www.sub' || CAST(doc_id % 7 AS VARCHAR)
+         || '.site' || CAST(doc_id % 97 AS VARCHAR) || '.test'
+         || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&a=' || CAST(doc_id % 3 AS VARCHAR) AS url
 FROM documents
 """,
         # constant 8x8 gray at q100 round-trips bit-exactly through

@@ -1,0 +1,193 @@
+"""Sitemap ingest (sources/sitemap.py) + CDX index (sources/cdx.py):
+writer/parser units, SURT key semantics, and the distributed surfaces."""
+
+import pytest
+
+
+class TestSitemapCodec:
+    def test_urlset_roundtrip(self):
+        from rsoup_spark.sources.sitemap import parse_sitemap, write_sitemap
+
+        entries = [
+            {"loc": "http://a.test/", "lastmod": "2026-01-02",
+             "changefreq": "daily", "priority": 0.8},
+            {"loc": "http://a.test/x?q=1&r=2"},
+            {"loc": "http://a.test/amp&lt", "priority": 0.1},
+        ]
+        for gz in (False, True):
+            out = parse_sitemap(write_sitemap(entries, gzipped=gz))
+            assert [e["kind"] for e in out] == ["url"] * 3
+            assert out[0]["loc"] == "http://a.test/"
+            assert out[0]["lastmod"] == "2026-01-02"
+            assert out[0]["changefreq"] == "daily"
+            assert out[0]["priority"] == pytest.approx(0.8)
+            assert out[1]["loc"] == "http://a.test/x?q=1&r=2"
+            assert out[1]["priority"] is None
+            assert out[2]["loc"] == "http://a.test/amp&lt"
+
+    def test_sitemapindex(self):
+        from rsoup_spark.sources.sitemap import parse_sitemap, write_sitemap
+
+        out = parse_sitemap(write_sitemap(
+            [{"loc": "http://a.test/s1.xml.gz", "lastmod": "2026-02-03"},
+             {"loc": "http://a.test/s2.xml.gz"}],
+            index=True,
+        ))
+        assert [e["kind"] for e in out] == ["sitemap", "sitemap"]
+        assert out[0]["loc"] == "http://a.test/s1.xml.gz"
+        assert out[0]["lastmod"] == "2026-02-03"
+
+    def test_lenient_entries_strict_files(self):
+        from rsoup_spark.sources.sitemap import parse_sitemap
+
+        # junk changefreq/priority null out; entry without loc skipped;
+        # namespace-free XML accepted
+        xml = b"""<?xml version="1.0"?><urlset>
+          <url><loc>http://a.test/1</loc>
+               <changefreq>often</changefreq>
+               <priority>7</priority></url>
+          <url><lastmod>2026-01-01</lastmod></url>
+          <url><loc>http://a.test/2</loc><priority>junk</priority></url>
+        </urlset>"""
+        out = parse_sitemap(xml)
+        assert [e["loc"] for e in out] == \
+            ["http://a.test/1", "http://a.test/2"]
+        assert out[0]["changefreq"] is None
+        assert out[0]["priority"] is None  # out of [0,1]
+        assert out[1]["priority"] is None  # unparseable
+
+        with pytest.raises(ValueError, match="xml"):
+            parse_sitemap(b"<urlset><url>")
+        with pytest.raises(ValueError, match="gzip"):
+            parse_sitemap(b"\x1f\x8bnope")
+        with pytest.raises(ValueError, match="root"):
+            parse_sitemap(b"<rss></rss>")
+
+    def test_deterministic_fixture_bytes(self):
+        from rsoup_spark.sources.sitemap import write_sitemap
+
+        e = [{"loc": "http://a.test/", "priority": 0.5}]
+        assert write_sitemap(e, gzipped=True) == \
+            write_sitemap(e, gzipped=True)
+
+
+def _surt_py(url: str) -> str:
+    """Reference SURT (pure Python) for fuzzing the JVM expression."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    slash = rest.find("/")
+    hostport, pathq = (rest, "") if slash < 0 else \
+        (rest[:slash], rest[slash:])
+    hostport = hostport.lower()
+    host, _, port = hostport.partition(":")
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    if port:
+        key += ":" + port
+    path, sep, query = pathq.partition("?")
+    if sep:
+        query = "?" + "&".join(sorted(query.split("&")))
+    return key + ")" + (path or "/") + query
+
+
+class TestSurt:
+    CASES = {
+        "https://www.Sub.Example.COM:8080/A/b?b=2&a=1":
+            "com,example,sub:8080)/A/b?a=1&b=2",
+        "http://example.com/": "com,example)/",
+        "http://example.com": "com,example)/",
+        "http://www.example.com/x": "com,example)/x",
+        "http://a.b.c.d.test/p/q?z=1": "test,d,c,b,a)/p/q?z=1",
+        "http://h.test/CaseKept/Path": "test,h)/CaseKept/Path",
+    }
+
+    def test_reference_cases_py(self):
+        for url, want in self.CASES.items():
+            assert _surt_py(url) == want
+
+    @pytest.mark.spark
+    def test_jvm_expr_matches_reference(self, spark):
+        from rsoup_spark.sources.cdx import surt_key
+
+        urls = list(self.CASES) + [
+            f"http://www.site{i}.sub{i % 5}.test:81/p{i}/x?b={i}&a={i%3}"
+            for i in range(50)
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        got = {r["url"]: r["s"]
+               for r in df.select("url", surt_key("url").alias("s"))
+               .collect()}
+        for u in urls:
+            assert got[u] == _surt_py(u), u
+
+
+@pytest.mark.spark
+class TestDistributedSurfaces:
+    def test_sitemap_entries_and_seeds(self, spark):
+        from pyspark.sql import functions as F
+
+        from rsoup_spark.sources.sitemap import (
+            sitemap_entries, sitemap_seeds, write_sitemap,
+        )
+
+        um = write_sitemap([
+            {"loc": "HTTP://A.test/p1#frag", "priority": 0.3},
+            {"loc": "http://a.test/p1", "priority": 0.9},
+            {"loc": "http://a.test/p2", "changefreq": "weekly"},
+        ], gzipped=True)
+        idx = write_sitemap(
+            [{"loc": "http://a.test/s1.xml.gz"}], index=True)
+        rows = [("s.xml.gz", bytearray(um)),
+                ("i.xml", bytearray(idx)),
+                ("junk.xml", bytearray(b"<html>no</html>"))]
+        files = spark.createDataFrame(rows, ["src", "data"])
+        ents = sitemap_entries(files)
+        got = {(r["src"], r["entry_idx"]): r for r in ents.collect()}
+        assert len(got) == 4  # junk dropped, 3 urls + 1 index entry
+        assert got[("i.xml", 0)]["kind"] == "sitemap"
+        assert got[("s.xml.gz", 2)]["changefreq"] == "weekly"
+
+        seeds = {r["url"]: r["priority"]
+                 for r in sitemap_seeds(ents).collect()}
+        # canonicalizer folds case + strips fragment -> p1 dedups to
+        # one seed with the max priority; index entries excluded
+        assert set(seeds) == {"http://a.test/p1", "http://a.test/p2"}
+        assert seeds["http://a.test/p1"] == pytest.approx(0.9)
+        assert seeds["http://a.test/p2"] is None
+
+    def test_cdx_index_sorted_and_lookup(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rsoup_spark.sources.cdx import cdx_index, cdx_lookup
+
+        caps = spark.createDataFrame(
+            [(f"http://www.h{i % 7}.test/p/{i}?b=2&a=1", 20260000 + i,
+              200, "text/html", f"sha1:{i}", f"f{i % 3}.warc.gz",
+              i * 100, 99)
+             for i in range(200)],
+            ["url", "ts", "status", "mime", "digest",
+             "filename", "offset", "length"],
+        )
+        idx = cdx_index(caps, shards=4)
+        path = str(tmp_path / "cdx")
+        idx.write.parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+
+        # global range order: per-file (min, max) surt windows disjoint
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("surt").alias("lo"), F.max("surt").alias("hi"))
+            .collect()
+        )
+        spans = sorted([(r["lo"], r["hi"]) for r in per_file])
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next
+
+        hits = cdx_lookup(back, "http://h3.test/p/").collect()
+        assert len(hits) == sum(1 for i in range(200) if i % 7 == 3)
+        assert all(h["surt"].startswith("test,h3)/p/") for h in hits)
+        # the probe is sargable: it must reach the parquet scan
+        plan = cdx_lookup(back, "http://h3.test/p/") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "surt" in plan
