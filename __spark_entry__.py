@@ -1237,6 +1237,52 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(files)
 
 
+def q_pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-to-spans composite: documents -> WARC archives
+    (real per-record gzip members, response bodies = the same page
+    template the ext_* gates use) -> distributed WARC record reader ->
+    html5 parse + span extraction.  The oracle is the ext_spans
+    restatement, so an error anywhere in the chain (gzip member walk,
+    WARC header parse, HTTP split, UTF-8 decode, DOM parse, span walk)
+    goes red."""
+    import pandas as pd
+
+    from rsoup_spark.sources.docs import PAGE_TEMPLATE
+    from rsoup_spark.sources.warc import warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"src": [], "data": []}
+            for i, t, lg, so in zip(pdf["doc_id"], pdf["text"],
+                                    pdf["lang"], pdf["source"]):
+                i = int(i)
+                html = PAGE_TEMPLATE % (i, t, i, lg, so, so, i, lg, i)
+                rows["src"].append(f"crawl/{i}.warc.gz")
+                rows["data"].append(write_warc([{
+                    "url": f"https://docs.test/{so}/{i}",
+                    "payload": html.encode("utf-8"),
+                }]))
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(synth, "src string, data binary")
+    pages = warc_records(archives).select(
+        "url", F.col("body").cast("string").alias("html"))
+    spans = extract_spans(pages, "url", "html")
+    s = F.posexplode("spans").alias("pos", "s")
+    return spans.select("doc_id", s).select(
+        F.split(F.col("doc_id"), "/").getItem(4).cast("bigint")
+        .alias("doc_id"),
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    ).orderBy("doc_id", "pos")
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (sources/cdx.py): capture rows synthesized
     from documents with pure JVM expressions (URLs exercising www-strip,
@@ -2003,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_fix_tree": q_ext_fix_tree,
         "sitemap_ingest": q_sitemap_ingest,
         "cdx_index": q_cdx_index,
+        "pipeline_warc_extract": q_pipeline_warc_extract,
     }
 
 
@@ -3148,4 +3195,7 @@ SELECT host,
        CAST(sum(n_spans) AS BIGINT) AS final_spans
 FROM d GROUP BY host
 """
+    # the composite crawl-to-spans pipeline must land exactly where the
+    # direct extraction gate lands: same pages, same span restatement
+    out["pipeline_warc_extract"] = out["ext_spans"]
     return out

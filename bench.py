@@ -97,6 +97,8 @@ def main() -> None:
         "text_postings",
         "graph_anchor_text",
         "multimodal_resize",
+        "sitemap_ingest",
+        "cdx_index",
     ]
 
     timings: dict[str, float] = {}

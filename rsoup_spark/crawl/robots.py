@@ -160,3 +160,62 @@ def parse_robots_txt(
     return df.select(host_col, body_col).mapInPandas(
         run, ROBOTS_PARSED_SCHEMA
     )
+
+
+# -- sitemap discovery --------------------------------------------------------
+
+SITEMAP_LINKS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("sitemap_url", StringType(), False),
+    ]
+)
+
+
+def robots_sitemaps(body: str, base: str | None = None) -> list[str]:
+    """``Sitemap:`` lines -> sitemap URLs, file order, deduped.
+
+    Per sitemaps.org ("robots.txt discovery") and RFC 9309 §2.2.4
+    these lines are group-independent -- they apply regardless of any
+    ``User-agent`` group -- so this is a separate walk from
+    ``parse_robots_body``.  Values must be absolute URLs per spec;
+    relative ones (seen in the wild) resolve against ``base`` when
+    given, else are dropped.
+    """
+    from ..functions.urlnorm import canonicalize_url
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if not sep or key.strip().lower() != "sitemap":
+            continue
+        url = canonicalize_url(val.strip(), base)
+        if url and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+def discover_sitemaps(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url) rows: the sitemap
+    discovery half of the robots fetch, feeding ``sources/sitemap.py``
+    (fetch the URLs, then ``sitemap_entries`` -> ``sitemap_seeds``).
+    One Arrow-batched pass, same shape as ``parse_robots_txt``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "sitemap_url": []}
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for u in robots_sitemaps(
+                        body, base=f"http://{host}/robots.txt"):
+                    out["host"].append(host)
+                    out["sitemap_url"].append(u)
+            yield pd.DataFrame(out)
+
+    return df.select(host_col, body_col).mapInPandas(
+        run, SITEMAP_LINKS_SCHEMA
+    )

@@ -191,3 +191,49 @@ class TestDistributedSurfaces:
         plan = cdx_lookup(back, "http://h3.test/p/") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "surt" in plan
+
+
+class TestRobotsSitemapDiscovery:
+    def test_group_independent_and_deduped(self):
+        from rsoup_spark.crawl.robots import robots_sitemaps
+
+        body = (
+            "User-agent: alpha\nDisallow: /x\n"
+            "Sitemap: HTTP://A.test/s.xml.gz\n"
+            "User-agent: *\nAllow: /\n"
+            "sitemap: http://a.test/s.xml.gz\n"  # dup after canon
+            "Sitemap: /local.xml\n"              # relative -> base
+            "Sitemap:\n"                          # empty -> dropped
+        )
+        assert robots_sitemaps(body, base="http://h.test/robots.txt") == \
+            ["http://a.test/s.xml.gz", "http://h.test/local.xml"]
+        assert robots_sitemaps(body) == ["http://a.test/s.xml.gz"]
+
+    @pytest.mark.spark
+    def test_discovery_loop(self, spark):
+        """robots -> sitemap URLs -> sitemap bytes -> frontier seeds:
+        the full discovery chain end-to-end."""
+        from rsoup_spark.crawl.robots import discover_sitemaps
+        from rsoup_spark.sources.sitemap import (
+            sitemap_entries, sitemap_seeds, write_sitemap,
+        )
+
+        robots = spark.createDataFrame(
+            [("h0.test", "User-agent: *\nSitemap: http://h0.test/sm.xml"),
+             ("h1.test", "Disallow: /private")],
+            ["host", "robots_txt"],
+        )
+        links = {(r["host"], r["sitemap_url"])
+                 for r in discover_sitemaps(robots).collect()}
+        assert links == {("h0.test", "http://h0.test/sm.xml")}
+
+        # "fetch" the discovered sitemap and fold it into seeds
+        blob = write_sitemap(
+            [{"loc": "http://h0.test/p1", "priority": 0.4},
+             {"loc": "http://h0.test/p1#dup", "priority": 0.6}])
+        files = spark.createDataFrame(
+            [("http://h0.test/sm.xml", bytearray(blob))], ["src", "data"])
+        seeds = sitemap_seeds(sitemap_entries(files)).collect()
+        assert len(seeds) == 1
+        assert seeds[0]["url"] == "http://h0.test/p1"
+        assert seeds[0]["priority"] == pytest.approx(0.6)
