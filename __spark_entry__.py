@@ -1306,6 +1306,27 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_index(caps, shards=8).select("surt", "ts", "url")
 
 
+def q_cdx_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX revisit marking (sources/cdx.py): 50 pages x repeated
+    captures (ts = doc_id, digest changes every 2nd capture), so every
+    same-digest run is length 2 and each run's second capture must
+    flag as a revisit pointing at the run start.  Pure JVM windows;
+    the oracle restates them with SQL windows."""
+    from rsoup_spark.sources.cdx import cdx_index, cdx_revisits
+
+    d = F.col("doc_id")
+    caps = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://h"), (d % 50).cast("string"),
+                 F.lit(".test/p")).alias("url"),
+        d.cast("long").alias("ts"),
+        F.concat(F.lit("d"),
+                 F.expr("CAST((doc_id div 50) div 2 AS STRING)"))
+        .alias("digest"),
+    )
+    return cdx_revisits(cdx_index(caps, shards=8)).select(
+        "surt", "ts", "is_revisit", "orig_ts")
+
+
 def q_multimodal_jpeg_progressive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG decode in the dataflow: one 8x8 constant
@@ -2050,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "cdx_index": q_cdx_index,
         "pipeline_warc_extract": q_pipeline_warc_extract,
+        "cdx_revisits": q_cdx_revisits,
     }
 
 
@@ -2707,6 +2729,28 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
          AS mean_abs_ppm
 FROM documents
 """,
+        # revisit flags + run-start pointers restated with SQL windows
+        "cdx_revisits": """
+WITH caps AS (
+  SELECT 'test,h' || CAST(doc_id % 50 AS VARCHAR) || ')/p' AS surt,
+         CAST(doc_id AS BIGINT) AS ts,
+         'd' || CAST((doc_id // 50) // 2 AS VARCHAR) AS digest
+  FROM documents
+), m AS (
+  SELECT surt, ts, digest, lag(digest) OVER w AS prev_digest
+  FROM caps WINDOW w AS (PARTITION BY surt ORDER BY ts)
+), r AS (
+  SELECT surt, ts,
+         (prev_digest IS NOT NULL AND digest = prev_digest) AS is_revisit,
+         CASE WHEN prev_digest IS NULL OR digest <> prev_digest
+              THEN ts END AS run_start
+  FROM m
+)
+SELECT surt, ts, is_revisit,
+       CAST(max(run_start) OVER (PARTITION BY surt ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS orig_ts
+FROM r
+""",
         # constant 8x8 gray at q100 round-trips bit-exactly through
         # the baseline JPEG codec, so the decoded mean is analytic
         "multimodal_jpeg_stats": """
@@ -2783,6 +2827,28 @@ SELECT 'test,site' || CAST(doc_id % 97 AS VARCHAR)
          || '?b=' || CAST(doc_id % 5 AS VARCHAR)
          || '&a=' || CAST(doc_id % 3 AS VARCHAR) AS url
 FROM documents
+""",
+        # revisit flags + run-start pointers restated with SQL windows
+        "cdx_revisits": """
+WITH caps AS (
+  SELECT 'test,h' || CAST(doc_id % 50 AS VARCHAR) || ')/p' AS surt,
+         CAST(doc_id AS BIGINT) AS ts,
+         'd' || CAST((doc_id // 50) // 2 AS VARCHAR) AS digest
+  FROM documents
+), m AS (
+  SELECT surt, ts, digest, lag(digest) OVER w AS prev_digest
+  FROM caps WINDOW w AS (PARTITION BY surt ORDER BY ts)
+), r AS (
+  SELECT surt, ts,
+         (prev_digest IS NOT NULL AND digest = prev_digest) AS is_revisit,
+         CASE WHEN prev_digest IS NULL OR digest <> prev_digest
+              THEN ts END AS run_start
+  FROM m
+)
+SELECT surt, ts, is_revisit,
+       CAST(max(run_start) OVER (PARTITION BY surt ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS orig_ts
+FROM r
 """,
         # constant 8x8 gray at q100 round-trips bit-exactly through
         # the progressive (SOF2, successive-approximation) scan chain

@@ -118,3 +118,36 @@ def cdx_lookup(index: DataFrame, url_prefix: str) -> DataFrame:
         surt_key(F.lit(canon)).alias("s")).head()[0]
     hi = lo + "￿"
     return index.filter((F.col("surt") >= lo) & (F.col("surt") < hi))
+
+
+def cdx_revisits(index: DataFrame) -> DataFrame:
+    """Mark revisit captures: within one SURT key (time order), a
+    capture whose payload digest equals the previous capture's is a
+    ``revisit`` — archives store it as a slim revisit record pointing
+    at ``orig_ts``, the timestamp of the first capture of the current
+    same-digest run (the record the replay should serve).  Documented
+    variant: run semantics (consecutive identical digests), the shape
+    wayback-style within-crawl digest dedup produces.
+
+    Pure JVM window pass over the (surt, ts) order the index already
+    has: lag() for the revisit flag, then a run-start carry
+    (max-by-accumulation via last() over the preceding frame) for
+    orig_ts.  One shuffle on surt — the same key the index is
+    range-partitioned by, so on an already-built index AQE keeps this
+    co-located.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy("ts")
+    prev_digest = F.lag("digest").over(w)
+    is_revisit = prev_digest.isNotNull() & (F.col("digest") == prev_digest)
+    run_start = F.when(~is_revisit, F.col("ts"))
+    return (
+        index.withColumn("is_revisit", is_revisit)
+        .withColumn(
+            "orig_ts",
+            F.last(run_start, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )

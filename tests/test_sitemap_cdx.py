@@ -237,3 +237,24 @@ class TestRobotsSitemapDiscovery:
         assert len(seeds) == 1
         assert seeds[0]["url"] == "http://h0.test/p1"
         assert seeds[0]["priority"] == pytest.approx(0.6)
+
+
+@pytest.mark.spark
+class TestCdxRevisits:
+    def test_runs_and_pointers(self, spark):
+        from rsoup_spark.sources.cdx import cdx_revisits
+
+        # one surt: digests A A B A A -> revisits at ts 2 and 5,
+        # orig_ts = run starts 1, 1, 3, 4, 4
+        rows = [("k)/p", t, d) for t, d in
+                [(1, "A"), (2, "A"), (3, "B"), (4, "A"), (5, "A")]]
+        rows += [("k)/q", 1, "A")]  # singleton: never a revisit
+        idx = spark.createDataFrame(rows, ["surt", "ts", "digest"])
+        got = {(r["surt"], r["ts"]): (r["is_revisit"], r["orig_ts"])
+               for r in cdx_revisits(idx).collect()}
+        assert got[("k)/p", 1)] == (False, 1)
+        assert got[("k)/p", 2)] == (True, 1)
+        assert got[("k)/p", 3)] == (False, 3)
+        assert got[("k)/p", 4)] == (False, 4)
+        assert got[("k)/p", 5)] == (True, 4)
+        assert got[("k)/q", 1)] == (False, 1)
