@@ -99,6 +99,7 @@ def main() -> None:
         "multimodal_resize",
         "sitemap_ingest",
         "cdx_index",
+        "cdx_revisits",
     ]
 
     timings: dict[str, float] = {}
