@@ -1283,6 +1283,82 @@ def q_pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (ops/dedup.py:line_dedup):
+    4-line docs where line 1 is a per-site nav bar (df ~ n/3, removed),
+    line 2 the unique body (kept), line 3 a global footer (removed),
+    line 4 a low-df signature (df ~ n/250, kept at min_df=5).  The
+    oracle re-derives the df counts and reassembly in SQL."""
+    from rsoup_spark.ops.dedup import line_dedup
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV site"), (d % 3).cast("string")),
+            F.col("text"),
+            F.lit("© example footer"),
+            F.concat(F.lit("sig "), (d % 250).cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_df=5)
+
+
+def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode (sources/charset.py) over real WARC
+    bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
+    lying meta (0), UTF-16LE BOM (1), HTTP-header windows-1252
+    overriding a lying meta (2), meta-prescanned latin-1 label
+    normalizing to windows-1252 per WHATWG (3).  Payloads carry
+    non-ASCII bytes that differ across the candidate encodings, so a
+    wrong precedence or wrong decode changes the text and goes red."""
+    import codecs
+
+    import pandas as pd
+
+    from rsoup_spark.sources.charset import decode_bodies
+    from rsoup_spark.sources.warc import warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"src": [], "data": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(i), str(t)
+                hdr = {}
+                if i % 4 == 0:
+                    payload = codecs.BOM_UTF8 + \
+                        f'<meta charset="iso-8859-1">café {t}'.encode()
+                elif i % 4 == 1:
+                    payload = codecs.BOM_UTF16_LE + \
+                        f"café №16 {t}".encode("utf-16-le")
+                elif i % 4 == 2:
+                    payload = \
+                        f'<meta charset="utf-8">café {t}'.encode("cp1252")
+                    hdr = {"Content-Type":
+                           "text/html; charset=windows-1252"}
+                else:
+                    payload = \
+                        f'<meta charset="latin-1">café {t}'.encode("latin-1")
+                rows["src"].append(f"c/{i}.warc.gz")
+                rows["data"].append(write_warc([{
+                    "url": f"http://c.test/{i}",
+                    "payload": payload,
+                    "http_headers": hdr,
+                }]))
+            yield pd.DataFrame(rows)
+
+    archives = docs.mapInPandas(synth, "src string, data binary")
+    recs = decode_bodies(warc_records(archives))
+    return recs.select(
+        F.split("url", "/").getItem(3).cast("bigint").alias("doc_id"),
+        "encoding",
+        "text",
+    )
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (sources/cdx.py): capture rows synthesized
     from documents with pure JVM expressions (URLs exercising www-strip,
@@ -2072,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "pipeline_warc_extract": q_pipeline_warc_extract,
         "cdx_revisits": q_cdx_revisits,
+        "warc_charset": q_warc_charset,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2729,6 +2807,52 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
          AS mean_abs_ppm
 FROM documents
 """,
+        # genuine SQL re-derivation of the corpus df counts + reassembly
+        "dedup_lines": """
+WITH d AS (
+  SELECT doc_id,
+         string_split(
+           'NAV site' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+           text || chr(10) ||
+           '© example footer' || chr(10) ||
+           'sig ' || CAST(doc_id % 250 AS VARCHAR), chr(10)) AS parts
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(range(1, len(parts) + 1)) AS pos,
+         unnest(parts) AS line
+  FROM d
+), boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+  GROUP BY line HAVING count(*) >= 5
+), kept AS (
+  SELECT l.* FROM l ANTI JOIN boiler USING (line)
+), surv AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(surv.clean_text, '') AS clean_text,
+       CAST(len(d.parts) AS INTEGER) AS n_lines,
+       CAST(len(d.parts) - COALESCE(surv.n_kept, 0) AS INTEGER)
+         AS n_removed
+FROM d LEFT JOIN surv USING (doc_id)
+""",
+        # precedence + decode restated analytically; the engine must
+        # land on the same encoding label and identical decoded text
+        "warc_charset": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-16-le'
+                       ELSE 'windows-1252' END AS encoding,
+       CASE doc_id % 4
+         WHEN 0 THEN '<meta charset="iso-8859-1">café ' || text
+         WHEN 1 THEN 'café №16 ' || text
+         WHEN 2 THEN '<meta charset="utf-8">café ' || text
+         ELSE '<meta charset="latin-1">café ' || text END AS text
+FROM documents
+""",
         # revisit flags + run-start pointers restated with SQL windows
         "cdx_revisits": """
 WITH caps AS (
@@ -2826,6 +2950,52 @@ SELECT 'test,site' || CAST(doc_id % 97 AS VARCHAR)
          || '/p/' || CAST(doc_id AS VARCHAR)
          || '?b=' || CAST(doc_id % 5 AS VARCHAR)
          || '&a=' || CAST(doc_id % 3 AS VARCHAR) AS url
+FROM documents
+""",
+        # genuine SQL re-derivation of the corpus df counts + reassembly
+        "dedup_lines": """
+WITH d AS (
+  SELECT doc_id,
+         string_split(
+           'NAV site' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+           text || chr(10) ||
+           '© example footer' || chr(10) ||
+           'sig ' || CAST(doc_id % 250 AS VARCHAR), chr(10)) AS parts
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(range(1, len(parts) + 1)) AS pos,
+         unnest(parts) AS line
+  FROM d
+), boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+  GROUP BY line HAVING count(*) >= 5
+), kept AS (
+  SELECT l.* FROM l ANTI JOIN boiler USING (line)
+), surv AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(surv.clean_text, '') AS clean_text,
+       CAST(len(d.parts) AS INTEGER) AS n_lines,
+       CAST(len(d.parts) - COALESCE(surv.n_kept, 0) AS INTEGER)
+         AS n_removed
+FROM d LEFT JOIN surv USING (doc_id)
+""",
+        # precedence + decode restated analytically; the engine must
+        # land on the same encoding label and identical decoded text
+        "warc_charset": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-16-le'
+                       ELSE 'windows-1252' END AS encoding,
+       CASE doc_id % 4
+         WHEN 0 THEN '<meta charset="iso-8859-1">café ' || text
+         WHEN 1 THEN 'café №16 ' || text
+         WHEN 2 THEN '<meta charset="utf-8">café ' || text
+         ELSE '<meta charset="latin-1">café ' || text END AS text
 FROM documents
 """,
         # revisit flags + run-start pointers restated with SQL windows

@@ -100,6 +100,7 @@ def main() -> None:
         "sitemap_ingest",
         "cdx_index",
         "cdx_revisits",
+        "dedup_lines",
     ]
 
     timings: dict[str, float] = {}

@@ -507,3 +507,66 @@ def dup_clusters(
     return labels.select(
         F.col("dst").alias("doc_id"), F.col("label").alias("canonical_id")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    paragraph-dedup step): split each document on ``delimiter``, drop
+    every line that occurs in >= ``min_df`` distinct documents
+    (navigation, cookie banners, footers -- the lines that repeat
+    across a site), and reassemble the survivors in original order.
+
+    -> (id, clean_text, n_lines, n_removed); documents whose lines are
+    all boilerplate stay in the output with clean_text = ''.
+
+    Scale shape: three shuffles, none skewed --
+      1. ``(doc, line) distinct`` partial-aggregates map-side, so a
+         line repeated within one doc costs one row;
+      2. df counting is a sum of ones per line with map-side combine
+         (a planet-wide footer line is ONE reducer row, not 1e9);
+      3. the anti-join back runs on the same line key the df shuffle
+         just produced (co-located), and its right side holds only
+         lines ABOVE the threshold -- the boilerplate set, tiny
+         relative to the corpus, AQE-broadcastable.
+    Per-doc reassembly is the unavoidable groupBy on the doc key.
+    No Python anywhere -- split/posexplode/array_sort ride codegen.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("pos", "line"),
+    )
+    boiler = (
+        lines.select(id_col, "line").distinct()
+        .groupBy("line").count()
+        .filter(F.col("count") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delimiter)).alias("n_lines"),
+    )
+    return base.join(survivors, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int").alias("n_removed"),
+    )

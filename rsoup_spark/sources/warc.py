@@ -44,6 +44,7 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("warc_date", StringType(), True),
         StructField("http_status", IntegerType(), True),
         StructField("mime", StringType(), True),
+        StructField("charset", StringType(), True),
         StructField("body", BinaryType(), True),
     ]
 )
@@ -100,23 +101,30 @@ def write_warc(records: list[dict], per_record_gzip: bool = True) -> bytes:
 
 # -- parser ------------------------------------------------------------------
 
-def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """HTTP message bytes -> (status, content-type, body)."""
+def _split_http(
+    block: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """HTTP message bytes -> (status, content-type, charset, body)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block[:5] in (b"HTTP/",):
-        return None, None, block
+        return None, None, None, block
     head = block[:sep].decode("latin-1").split("\r\n")
     try:
         status = int(head[0].split(" ", 2)[1])
     except (IndexError, ValueError):
-        return None, None, block
-    mime = None
+        return None, None, None, block
+    mime = charset = None
     for line in head[1:]:
         k, _, v = line.partition(":")
         if k.strip().lower() == "content-type":
-            mime = v.strip().split(";")[0] or None
+            parts = v.strip().split(";")
+            mime = parts[0].strip() or None
+            for p in parts[1:]:
+                pk, _, pv = p.partition("=")
+                if pk.strip().lower() == "charset":
+                    charset = pv.strip().strip("\"'").lower() or None
             break
-    return status, mime, block[sep + 4:]
+    return status, mime, charset, block[sep + 4:]
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -151,10 +159,10 @@ def parse_warc(data: bytes) -> list[dict]:
             raise ValueError("truncated WARC record body")
         block = data[body_start:body_start + clen]
         wtype = headers.get("warc-type", "")
-        status = mime = None
+        status = mime = charset = None
         body = block
         if "msgtype=response" in headers.get("content-type", ""):
-            status, mime, body = _split_http(block)
+            status, mime, charset, body = _split_http(block)
         records.append(
             {
                 "warc_type": wtype,
@@ -162,6 +170,7 @@ def parse_warc(data: bytes) -> list[dict]:
                 "warc_date": headers.get("warc-date"),
                 "http_status": status,
                 "mime": mime,
+                "charset": charset,
                 "body": body,
             }
         )
@@ -202,6 +211,7 @@ def warc_records(archives: DataFrame, src_col: str = "src",
                             "warc_date": r["warc_date"],
                             "http_status": r["http_status"],
                             "mime": r["mime"],
+                            "charset": r["charset"],
                             "body": r["body"],
                         }
                     )

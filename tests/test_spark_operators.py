@@ -313,3 +313,40 @@ class TestDupClusters:
         rows = dup_clusters(pairs).collect()
         assert len(rows) == 13
         assert {r["canonical_id"] for r in rows} == {0}
+
+
+@pytest.mark.spark
+class TestLineDedup:
+    def test_hand_computed(self, spark):
+        from rsoup_spark.ops.dedup import line_dedup
+
+        # "shared" appears in 3 distinct docs (min_df=3 -> removed,
+        # including BOTH copies inside doc c); uniques survive in
+        # original order; doc d is all boilerplate -> empty clean_text
+        rows = [
+            ("a", "shared\nbody a\ntail a"),
+            ("b", "body b\nshared"),
+            ("c", "shared\nmid c\nshared"),
+            ("d", "shared"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in
+               line_dedup(docs, min_df=3).collect()}
+        assert got["a"]["clean_text"] == "body a\ntail a"
+        assert (got["a"]["n_lines"], got["a"]["n_removed"]) == (3, 1)
+        assert got["b"]["clean_text"] == "body b"
+        assert got["c"]["clean_text"] == "mid c"
+        assert got["c"]["n_removed"] == 2
+        assert got["d"]["clean_text"] == ""
+        assert (got["d"]["n_lines"], got["d"]["n_removed"]) == (1, 1)
+
+    def test_within_doc_repeats_dont_count(self, spark):
+        from rsoup_spark.ops.dedup import line_dedup
+
+        # "x" repeats 5x inside ONE doc: df = 1 distinct doc, kept
+        docs = spark.createDataFrame(
+            [("a", "x\nx\nx\nx\nx"), ("b", "y")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in
+               line_dedup(docs, min_df=3).collect()}
+        assert got["a"]["clean_text"] == "x\nx\nx\nx\nx"
+        assert got["a"]["n_removed"] == 0

@@ -89,3 +89,69 @@ class TestWarcCodec:
             ("arc0", 0, "http://a.test/1", 200, 3),
             ("arc0", 1, "http://a.test/2", 301, 5),
         ]
+
+
+class TestCharset:
+    def test_bom_overrides_everything(self):
+        import codecs
+
+        from rsoup_spark.sources.charset import decode_html
+
+        body = codecs.BOM_UTF8 + '<meta charset="iso-8859-1">café'.encode()
+        text, enc = decode_html(body, http_charset="utf-16-le")
+        assert enc == "utf-8" and text.endswith("café")
+        assert not text.startswith("﻿")  # BOM stripped
+
+        b16 = codecs.BOM_UTF16_LE + "héllo".encode("utf-16-le")
+        text, enc = decode_html(b16)
+        assert (text, enc) == ("héllo", "utf-16-le")
+
+    def test_http_beats_meta_and_labels_normalize(self):
+        from rsoup_spark.sources.charset import decode_html, normalize_label
+
+        body = '<meta charset="utf-8">café'.encode("cp1252")
+        text, enc = decode_html(body, http_charset="Windows-1252")
+        assert enc == "windows-1252" and text.endswith("café")
+        # WHATWG: the latin-1 / iso-8859-1 labels mean cp1252
+        assert normalize_label("ISO-8859-1") == "windows-1252"
+        assert normalize_label("'utf8'") == "utf-8"
+        assert normalize_label("no-such-charset") is None
+
+    def test_meta_prescan_forms(self):
+        from rsoup_spark.sources.charset import prescan_meta_charset
+
+        assert prescan_meta_charset(b'<meta charset=utf-8>') == "utf-8"
+        assert prescan_meta_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=EUC-JP">') == "EUC-JP"
+        # outside the 1024-byte prescan window: not found
+        assert prescan_meta_charset(
+            b" " * 1024 + b'<meta charset=utf-8>') is None
+        assert prescan_meta_charset(b"<p>no meta</p>") is None
+
+    def test_fallback_never_raises(self):
+        from rsoup_spark.sources.charset import decode_html
+
+        text, enc = decode_html(b"ok \xff\xfe\xff bytes")
+        assert enc == "utf-8" and "�" in text and "ok" in text
+
+    @pytest.mark.spark
+    def test_decode_bodies_dataflow(self, spark):
+        from rsoup_spark.sources.charset import decode_bodies
+        from rsoup_spark.sources.warc import warc_records, write_warc
+
+        arc = write_warc([
+            {"url": "http://a.test/1", "payload": "café".encode("cp1252"),
+             "http_headers": {"Content-Type":
+                              "text/html; charset=windows-1252"}},
+            {"url": "http://a.test/2", "payload": "naïve".encode()},
+        ])
+        files = spark.createDataFrame(
+            [("a.warc.gz", bytearray(arc))], ["src", "data"])
+        rows = {r["url"]: r for r in
+                decode_bodies(warc_records(files)).collect()}
+        assert rows["http://a.test/1"]["charset"] == "windows-1252"
+        assert rows["http://a.test/1"]["encoding"] == "windows-1252"
+        assert rows["http://a.test/1"]["text"] == "café"
+        assert rows["http://a.test/2"]["encoding"] == "utf-8"
+        assert rows["http://a.test/2"]["text"] == "naïve"
