@@ -516,7 +516,10 @@ def line_dedup(
     min_df: int = 5,
     delimiter: str = "\n",
 ) -> DataFrame:
-    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    """``delimiter`` is a regex for the split and a literal for the
+    rejoin -- keep it a regex-neutral character (the default newline).
+
+    Corpus-level boilerplate line removal (the CCNet/RefinedWeb
     paragraph-dedup step): split each document on ``delimiter``, drop
     every line that occurs in >= ``min_df`` distinct documents
     (navigation, cookie banners, footers -- the lines that repeat

@@ -140,7 +140,10 @@ def cdx_revisits(index: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("surt").orderBy("ts")
     prev_digest = F.lag("digest").over(w)
-    is_revisit = prev_digest.isNotNull() & (F.col("digest") == prev_digest)
+    # null-safe: a null digest (no payload hash recorded) never marks
+    # a revisit, and `null == x` must not leak a null flag
+    is_revisit = prev_digest.isNotNull() & F.col("digest").isNotNull() \
+        & (F.col("digest") == prev_digest)
     run_start = F.when(~is_revisit, F.col("ts"))
     return (
         index.withColumn("is_revisit", is_revisit)

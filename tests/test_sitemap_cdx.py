@@ -258,3 +258,14 @@ class TestCdxRevisits:
         assert got[("k)/p", 4)] == (False, 4)
         assert got[("k)/p", 5)] == (True, 4)
         assert got[("k)/q", 1)] == (False, 1)
+
+    def test_null_digest_never_revisits(self, spark):
+        from rsoup_spark.sources.cdx import cdx_revisits
+
+        rows = [("k)/p", 1, "A"), ("k)/p", 2, None), ("k)/p", 3, None)]
+        idx = spark.createDataFrame(rows, ["surt", "ts", "digest"])
+        got = {r["ts"]: (r["is_revisit"], r["orig_ts"])
+               for r in cdx_revisits(idx).collect()}
+        # null digests start fresh runs and never flag (and the flag
+        # is a real False, not a null leaked by `null == x`)
+        assert got[2] == (False, 2) and got[3] == (False, 3)
