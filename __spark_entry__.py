@@ -2865,8 +2865,10 @@ WITH caps AS (
   FROM caps WINDOW w AS (PARTITION BY surt ORDER BY ts)
 ), r AS (
   SELECT surt, ts,
-         (prev_digest IS NOT NULL AND digest = prev_digest) AS is_revisit,
-         CASE WHEN prev_digest IS NULL OR digest <> prev_digest
+         (prev_digest IS NOT NULL AND digest IS NOT NULL
+          AND digest = prev_digest) AS is_revisit,
+         CASE WHEN NOT (prev_digest IS NOT NULL AND digest IS NOT NULL
+                        AND digest = prev_digest)
               THEN ts END AS run_start
   FROM m
 )
@@ -2951,74 +2953,6 @@ SELECT 'test,site' || CAST(doc_id % 97 AS VARCHAR)
          || '?b=' || CAST(doc_id % 5 AS VARCHAR)
          || '&a=' || CAST(doc_id % 3 AS VARCHAR) AS url
 FROM documents
-""",
-        # genuine SQL re-derivation of the corpus df counts + reassembly
-        "dedup_lines": """
-WITH d AS (
-  SELECT doc_id,
-         string_split(
-           'NAV site' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
-           text || chr(10) ||
-           '© example footer' || chr(10) ||
-           'sig ' || CAST(doc_id % 250 AS VARCHAR), chr(10)) AS parts
-  FROM documents
-), l AS (
-  SELECT doc_id,
-         unnest(range(1, len(parts) + 1)) AS pos,
-         unnest(parts) AS line
-  FROM d
-), boiler AS (
-  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
-  GROUP BY line HAVING count(*) >= 5
-), kept AS (
-  SELECT l.* FROM l ANTI JOIN boiler USING (line)
-), surv AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-         count(*) AS n_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(surv.clean_text, '') AS clean_text,
-       CAST(len(d.parts) AS INTEGER) AS n_lines,
-       CAST(len(d.parts) - COALESCE(surv.n_kept, 0) AS INTEGER)
-         AS n_removed
-FROM d LEFT JOIN surv USING (doc_id)
-""",
-        # precedence + decode restated analytically; the engine must
-        # land on the same encoding label and identical decoded text
-        "warc_charset": """
-SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
-                       WHEN 1 THEN 'utf-16-le'
-                       ELSE 'windows-1252' END AS encoding,
-       CASE doc_id % 4
-         WHEN 0 THEN '<meta charset="iso-8859-1">café ' || text
-         WHEN 1 THEN 'café №16 ' || text
-         WHEN 2 THEN '<meta charset="utf-8">café ' || text
-         ELSE '<meta charset="latin-1">café ' || text END AS text
-FROM documents
-""",
-        # revisit flags + run-start pointers restated with SQL windows
-        "cdx_revisits": """
-WITH caps AS (
-  SELECT 'test,h' || CAST(doc_id % 50 AS VARCHAR) || ')/p' AS surt,
-         CAST(doc_id AS BIGINT) AS ts,
-         'd' || CAST((doc_id // 50) // 2 AS VARCHAR) AS digest
-  FROM documents
-), m AS (
-  SELECT surt, ts, digest, lag(digest) OVER w AS prev_digest
-  FROM caps WINDOW w AS (PARTITION BY surt ORDER BY ts)
-), r AS (
-  SELECT surt, ts,
-         (prev_digest IS NOT NULL AND digest = prev_digest) AS is_revisit,
-         CASE WHEN prev_digest IS NULL OR digest <> prev_digest
-              THEN ts END AS run_start
-  FROM m
-)
-SELECT surt, ts, is_revisit,
-       CAST(max(run_start) OVER (PARTITION BY surt ORDER BY ts
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS orig_ts
-FROM r
 """,
         # constant 8x8 gray at q100 round-trips bit-exactly through
         # the progressive (SOF2, successive-approximation) scan chain
