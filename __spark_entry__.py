@@ -2823,8 +2823,9 @@ WITH d AS (
          unnest(parts) AS line
   FROM d
 ), boiler AS (
+  -- '' is paragraph structure, never boilerplate (engine parity)
   SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
-  GROUP BY line HAVING count(*) >= 5
+  WHERE line <> '' GROUP BY line HAVING count(*) >= 5
 ), kept AS (
   SELECT l.* FROM l ANTI JOIN boiler USING (line)
 ), surv AS (

@@ -333,7 +333,28 @@ class CrawlEngine:
 
     # -- one round -----------------------------------------------------------
     def run_round(self, r: int) -> dict:
-        """Round r reads round r-1 state and writes round r state."""
+        """Round r reads round r-1 state and writes round r state.
+
+        Owns the concurrent-checkpoint pool lifecycle: if the round
+        body fails mid-flight (executor loss, a failed write), the
+        finally joins/cancels every in-flight writer before the error
+        propagates -- otherwise a retry or resume of the same round
+        would race orphaned writers against the same round-r paths.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = (
+            ThreadPoolExecutor(max_workers=self.cfg.checkpoint_threads)
+            if self.cfg.checkpoint_threads > 1
+            else None
+        )
+        try:
+            return self._run_round(r, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
+
+    def _run_round(self, r: int, pool) -> dict:
         cfg = self.cfg
         t0 = time.time()
         frontier = self.store.read(r - 1, "frontier")
@@ -346,13 +367,6 @@ class CrawlEngine:
         # failure) and MUST run before write_manifest -- the manifest
         # commits the round, so it cannot be allowed to observe a
         # partially-written table on crash.
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = (
-            ThreadPoolExecutor(max_workers=cfg.checkpoint_threads)
-            if cfg.checkpoint_threads > 1
-            else None
-        )
         pending: list = []
 
         def _submit(df: DataFrame, name: str) -> None:
@@ -633,8 +647,6 @@ class CrawlEngine:
         # just-written frontier table); wall_ms therefore still
         # covers the full round including checkpoint I/O
         _flush()
-        if pool is not None:
-            pool.shutdown()
 
         metrics = {
             "round": r,

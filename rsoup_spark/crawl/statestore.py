@@ -26,7 +26,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-SCHEMA_VERSION = 1
+# v2: manifest rows carry `horizon` (the crawl's current round cap).
+# A v1 Iceberg manifest table needs `ALTER TABLE ... ADD COLUMN horizon
+# INT` before v2 appends (Iceberg does not evolve schema on write);
+# read_manifest tolerates rows written before the column existed.
+SCHEMA_VERSION = 2
 
 
 class ParquetStateStore:
@@ -324,13 +328,14 @@ class IcebergStateStore:
         )
         if not rows:
             raise FileNotFoundError("no manifest commit in the store")
-        r = rows[0]
+        r = rows[0].asDict()
         doc = {
             "round": r["round"],
             "done": r["done"],
             "schema_version": r["schema_version"],
         }
-        if r["horizon"] is not None:
+        # rows committed before schema v2 have no horizon column
+        if r.get("horizon") is not None:
             doc["horizon"] = r["horizon"]
         snap = json.loads(r["snapshot"])
         if snap:

@@ -549,6 +549,10 @@ def line_dedup(
         lines.select(id_col, "line").distinct()
         .groupBy("line").count()
         .filter(F.col("count") >= min_df)
+        # the empty line is structure (paragraph breaks), not
+        # boilerplate: classifying '' as boilerplate would strip every
+        # blank line corpus-wide and collapse paragraph formatting
+        .filter(F.col("line") != "")
         .select("line")
     )
     kept = lines.join(boiler, "line", "left_anti")

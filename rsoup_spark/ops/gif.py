@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from .codec_errors import normalize_decode_errors
+
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -118,6 +120,7 @@ def _read_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
+@normalize_decode_errors("GIF")
 def decode_gif(data: bytes) -> list[tuple[np.ndarray, int]]:
     """GIF bytes -> [(frame RGBA uint8 (h, w, 4), delay_ms), ...].
 

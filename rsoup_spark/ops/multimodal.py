@@ -295,9 +295,11 @@ def resize_image(
 
     ``method='nearest'``: index-picking (``src = floor(dst * n /
     n')``), works for any target size, up or down.  ``method='box'``:
-    exact mean pooling for integer downscale factors (raises
-    ``ValueError`` executor-side otherwise) -- the anti-aliasing
-    choice for thumbnail pyramids.  Both are pure integer/numpy, so
+    exact mean pooling for integer downscale factors -- the
+    anti-aliasing choice for thumbnail pyramids; images whose
+    dimensions are not integer multiples of the target are dropped
+    like undecodable blobs (on a mixed-size crawl corpus one odd
+    image must not fail the job).  Both are pure integer/numpy, so
     outputs replay exactly in an analytic oracle; no codec libraries.
 
     Same Arrow-batched ``mapInPandas`` shape as
@@ -326,10 +328,7 @@ def resize_image(
                     out = img[iy][:, ix]
                 else:  # box: exact mean pool, integer factors only
                     if h % height or w % width:
-                        raise ValueError(
-                            f"box resize needs integer factors, got "
-                            f"{h}x{w} -> {height}x{width}"
-                        )
+                        continue  # quarantine-drop, never job-fatal
                     fy, fx = h // height, w // width
                     out = (
                         img.reshape(height, fy, width, fx, ch)

@@ -31,6 +31,8 @@ import zlib
 
 import numpy as np
 
+from .codec_errors import normalize_decode_errors
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel (3 = palette: one index sample)
@@ -135,6 +137,7 @@ def _rows_to_samples(rows: np.ndarray, w: int, samples: int,
     return vals[:, :w].reshape(h, w, 1)
 
 
+@normalize_decode_errors("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8/uint16 array (h, w) for grayscale or
     (h, w, ch).

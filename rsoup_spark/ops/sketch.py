@@ -152,12 +152,17 @@ def cms_estimate(
     every row collides with observed traffic.
     """
     key = F.col(key_col).cast("string")
-    probes = keys.select(
+    # transient per-row id so the depth-collapse groupBy preserves
+    # duplicate probe rows (N identical keys in -> N rows out, not 1)
+    probes = keys.withColumn(
+        "__probe_id", F.monotonically_increasing_id()
+    ).select(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
     ).withColumn("cell", _cell(F.col("row"), key, width))
     joined = probes.join(F.broadcast(sketch), on=["row", "cell"], how="left")
     return (
-        joined.groupBy(*keys.columns)
+        joined.groupBy("__probe_id", *keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .drop("__probe_id")
     )

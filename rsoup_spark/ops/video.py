@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from .codec_errors import normalize_decode_errors
+
 AVI_MAGIC_RIFF = b"RIFF"
 AVI_MAGIC_FORM = b"AVI "
 Y4M_MAGIC = b"YUV4MPEG2 "
@@ -235,6 +237,7 @@ def _y4m_frame_to_rgb(raw: bytes, w: int, h: int, cs: str) -> np.ndarray:
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+@normalize_decode_errors("video")
 def decode_video(data: bytes) -> tuple[int, list[np.ndarray]]:
     """Video bytes -> (frame_duration_ms, decoded frames as uint8
     arrays).  MJPEG-AVI and YUV4MPEG2 decode natively; anything else

@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from .codec_errors import normalize_decode_errors
+
 WEBP_RIFF = b"RIFF"
 WEBP_FORM = b"WEBP"
 
@@ -494,6 +496,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return rgba
 
 
+@normalize_decode_errors("WebP")
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP container bytes -> uint8 (h, w, 4) RGBA.  Lossless (VP8L)
     decodes natively; lossy VP8 / extended VP8X raise, named."""

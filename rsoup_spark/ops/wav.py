@@ -18,10 +18,13 @@ import struct
 
 import numpy as np
 
+from .codec_errors import normalize_decode_errors
+
 WAV_FMT_PCM = 1
 WAV_FMT_FLOAT = 3
 
 
+@normalize_decode_errors("WAV")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (samples (n, channels), rate, bits).
 

@@ -49,16 +49,24 @@ def surt_key(url) -> Column:
     """URL column -> SURT key column (pure JVM expressions).
 
     Assumes http(s) URLs of the shape the crawl normalizer emits
-    (``canonicalize_url``: lowercase host, non-empty path).  Hosts are
-    lowercased again here so raw URLs also key correctly; paths keep
-    their case (RFC 3986: path is case-significant).
+    (``canonicalize_url``: lowercase host, non-empty path).  Raw URLs
+    also key correctly: hosts are lowercased again, userinfo is
+    stripped, a query with no path slash ("http://h?a=1") still parses
+    as host + query, and fragments are dropped.  Paths keep their case
+    (RFC 3986: path is case-significant).
     """
     url = F.col(url) if isinstance(url, str) else url
-    # strip scheme -> "host[:port]/path[?query]"
+    # strip scheme -> "[user@]host[:port][/path][?query][#frag]"
     rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    hostport = F.lower(F.substring_index(rest, "/", 1))
-    # path+query with its leading "/" ("" when the URL had no path)
-    pathq = F.regexp_replace(rest, r"^[^/]*", "")
+    # authority ends at the first of '/', '?', '#' (a raw
+    # "http://example.com?a=1" has a query but no path slash); strip
+    # userinfo so "user:pw@host/" keys by host, not by credential
+    authority = F.regexp_extract(rest, r"^[^/?#]*", 0)
+    hostport = F.lower(F.regexp_replace(authority, r"^[^/?#]*@", ""))
+    # path+query with its leading "/" ("" when the URL had no path),
+    # fragment dropped (never part of the capture identity)
+    pathq = F.regexp_replace(
+        F.regexp_replace(rest, r"^[^/?#]*", ""), r"#.*$", "")
     host = F.regexp_replace(
         F.substring_index(hostport, ":", 1), r"^www\.", "")
     port = F.when(

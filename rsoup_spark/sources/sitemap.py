@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 from xml.etree import ElementTree
 
@@ -121,8 +122,16 @@ def parse_sitemap(data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)
-        except (OSError, EOFError) as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # zlib.error (corrupt deflate stream) is neither OSError
+            # nor EOFError -- without it here, one flipped byte in a
+            # sitemap would escape the quarantine and fail the job
             raise ValueError(f"bad sitemap gzip: {e}") from e
+    # ElementTree expands internal DTD entities, so a hostile 1 KB
+    # "billion laughs" sitemap could OOM the executor.  No legitimate
+    # sitemap carries a DTD -- reject before parsing.
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
+        raise ValueError("sitemap with DTD/entity declarations rejected")
     try:
         root = ElementTree.fromstring(data)
     except ElementTree.ParseError as e:

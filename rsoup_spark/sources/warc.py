@@ -24,6 +24,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,7 +136,10 @@ def parse_warc(data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)  # loops over members
-        except (OSError, EOFError) as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # zlib.error (corrupt deflate stream) is neither OSError
+            # nor EOFError -- without it here, one flipped byte in an
+            # archive would escape the quarantine and fail the job
             raise ValueError(f"bad WARC gzip: {e}") from e
     records = []
     pos = 0

@@ -112,6 +112,23 @@ def test_cms_weighted_and_mergeable(spark):
 
 
 @pytest.mark.spark
+def test_cms_estimate_preserves_duplicate_probe_rows(spark):
+    """N identical probe rows in -> N estimate rows out (the point-
+    query contract): a join-produced probe frame must not silently
+    shrink."""
+    from rsoup_spark.ops.sketch import cms_build, cms_estimate
+
+    sk = cms_build(
+        spark.createDataFrame([(7,)] * 4, "k long"), "k",
+        depth=3, width=64,
+    )
+    keys = spark.createDataFrame([(7,), (7,), (7,), (9,)], "k long")
+    rows = cms_estimate(sk, keys, "k", depth=3, width=64).collect()
+    assert sorted((r.k, r.est) for r in rows) == \
+        [(7, 4), (7, 4), (7, 4), (9, 0)]
+
+
+@pytest.mark.spark
 def test_hll_estimate_within_error_bounds(spark):
     """Relative error stays within ~3x the theoretical 1.04/sqrt(m)
     standard error across two decades of cardinality."""

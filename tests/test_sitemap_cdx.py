@@ -74,9 +74,14 @@ class TestSitemapCodec:
 def _surt_py(url: str) -> str:
     """Reference SURT (pure Python) for fuzzing the JVM expression."""
     rest = url.split("://", 1)[1] if "://" in url else url
-    slash = rest.find("/")
-    hostport, pathq = (rest, "") if slash < 0 else \
-        (rest[:slash], rest[slash:])
+    cut = min((i for i in (rest.find("/"), rest.find("?"), rest.find("#"))
+               if i >= 0), default=-1)
+    hostport, pathq = (rest, "") if cut < 0 else \
+        (rest[:cut], rest[cut:])
+    if "#" in pathq:
+        pathq = pathq[:pathq.find("#")]
+    if "@" in hostport:
+        hostport = hostport.rsplit("@", 1)[1]
     hostport = hostport.lower()
     host, _, port = hostport.partition(":")
     if host.startswith("www."):
@@ -99,6 +104,12 @@ class TestSurt:
         "http://www.example.com/x": "com,example)/x",
         "http://a.b.c.d.test/p/q?z=1": "test,d,c,b,a)/p/q?z=1",
         "http://h.test/CaseKept/Path": "test,h)/CaseKept/Path",
+        # raw-URL edge cases: query with no path slash, userinfo,
+        # fragment -- all must key by the real host/path
+        "http://example.com?b=2&a=1": "com,example)/?a=1&b=2",
+        "http://user:pw@example.com/x": "com,example)/x",
+        "http://example.com/x#frag": "com,example)/x",
+        "http://example.com#frag": "com,example)/",
     }
 
     def test_reference_cases_py(self):

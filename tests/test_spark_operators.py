@@ -350,3 +350,15 @@ class TestLineDedup:
                line_dedup(docs, min_df=3).collect()}
         assert got["a"]["clean_text"] == "x\nx\nx\nx\nx"
         assert got["a"]["n_removed"] == 0
+
+    def test_blank_lines_are_structure_not_boilerplate(self, spark):
+        from rsoup_spark.ops.dedup import line_dedup
+
+        # every doc has paragraph breaks ('' occurs in >= min_df docs):
+        # the blanks must survive or paragraph formatting collapses
+        rows = [(str(i), f"intro {i}\n\nbody {i}\n") for i in range(4)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in
+               line_dedup(docs, min_df=3).collect()}
+        assert got["0"]["clean_text"] == "intro 0\n\nbody 0\n"
+        assert got["0"]["n_removed"] == 0

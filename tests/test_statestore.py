@@ -6,6 +6,7 @@ it -- same interface either way)."""
 import pytest
 
 from rsoup_spark.crawl.statestore import (
+    SCHEMA_VERSION,
     IcebergStateStore,
     ParquetStateStore,
     iceberg_available,
@@ -31,7 +32,7 @@ def test_parquet_store_roundtrip(spark, tmp_path):
     )
     m = store.read_manifest()
     assert m["round"] == 1 and m["done"] is False
-    assert m["schema_version"] == 1
+    assert m["schema_version"] == SCHEMA_VERSION
     assert m["snapshot"]["tables"]["seen"]["rows_appended"] == 1
 
 
@@ -151,7 +152,7 @@ def test_iceberg_store_logic_via_stub_catalog(spark, tmp_path, monkeypatch):
         )
 
     assert state(ice) == state(pq)
-    assert state(ice)[3] == {"round": 1, "done": False, "schema_version": 1}
+    assert state(ice)[3] == {"round": 1, "done": False, "schema_version": SCHEMA_VERSION}
     # round-partitioned: the seen table is ONE table with a round column
     assert set(tables) == {"stub.crawl.seen", "stub.crawl.manifest"}
     seen_rows, seen_schema = tables["stub.crawl.seen"]
