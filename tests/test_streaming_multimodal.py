@@ -420,12 +420,14 @@ class TestPngCodec:
         got_rgb = decode_png(bytes(re["c"]["data"]))
         assert got_rgb.shape == (2, 2, 3) and got_rgb[1, 1, 2] == 42
 
-        # box with a non-integer factor raises executor-side
-        import pytest as _pytest
-        from pyspark.errors.exceptions.captured import PythonException
-
-        with _pytest.raises(PythonException, match="integer factors"):
-            resize_image(media, 3, 3, method="box").collect()
+        # box with a non-integer factor quarantine-drops the row
+        # (never job-fatal on a mixed-size crawl corpus) -- 4x4 -> 3x3
+        # has no integer factor, so every decodable image drops too
+        assert resize_image(media, 3, 3, method="box").count() == 0
+        # mixed corpus: only the integer-factor image survives
+        assert {r["media_id"] for r in
+                resize_image(media, 1, 1, method="box").collect()
+                } == {"g", "c"}
 
 
 class TestGifCodec:
