@@ -1305,6 +1305,46 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, min_df=5)
 
 
+# dedup_substrings fixture: per-class 20-token shared block (classes
+# 0-3), a 10-token block for class 4 (below min_len -> filtered), and
+# a 16-token block shared by every doc; unique per-doc tokens around
+# each block pin the run boundaries.  The oracle restates the expected
+# runs analytically, so the detector's df-count + island-merge path is
+# checked against an independent derivation, not a SQL re-run.
+_SUBSTR_SHARED = [" ".join(f"s{c}w{i}" for i in range(20)) for c in range(4)]
+_SUBSTR_TINY = " ".join(f"y4w{i}" for i in range(10))
+_SUBSTR_GLOBAL = " ".join(f"g{i}" for i in range(16))
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-run detection
+    (ops/dedup.py:duplicate_substrings) over synthesized docs: class
+    c = doc_id%5 shares a 20-token block with its class (10 tokens for
+    class 4, below min_len=16), and every doc shares one 16-token
+    global block; unique tokens delimit the runs."""
+    from rsoup_spark.ops.dedup import duplicate_substrings
+
+    d = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 5
+    shared = F.when(cls == 0, F.lit(_SUBSTR_SHARED[0]))
+    for c in (1, 2, 3):
+        shared = shared.when(cls == c, F.lit(_SUBSTR_SHARED[c]))
+    shared = shared.otherwise(F.lit(_SUBSTR_TINY))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), d, F.lit("a")),
+            F.concat(F.lit("u"), d, F.lit("b")),
+            shared,
+            F.concat(F.lit("m"), d),
+            F.lit(_SUBSTR_GLOBAL),
+            F.concat(F.lit("z"), d),
+        ).alias("text"),
+    )
+    return duplicate_substrings(docs, k=8, min_len=16)
+
+
 def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (sources/charset.py) over real WARC
     bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
@@ -2150,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_revisits": q_cdx_revisits,
         "warc_charset": q_warc_charset,
         "dedup_lines": q_dedup_lines,
+        "dedup_substrings": q_dedup_substrings,
     }
 
 
@@ -2839,6 +2880,29 @@ SELECT d.doc_id,
        CAST(len(d.parts) - COALESCE(surv.n_kept, 0) AS INTEGER)
          AS n_removed
 FROM d LEFT JOIN surv USING (doc_id)
+""",
+        # expected duplicated runs restated analytically (independent
+        # of the engine's gram-df + island-merge machinery): classes
+        # 0-3 -> the 20-token class block at tokens [2,21] plus the
+        # global 16-token block at [23,38]; class 4's 10-token block
+        # is below min_len, so only the global block at [13,28]
+        "dedup_substrings": f"""
+WITH c AS (
+  SELECT doc_id, doc_id % 5 AS cls FROM documents
+)
+SELECT doc_id, 2 AS start_tok, 21 AS end_tok, 20 AS n_tokens,
+       CASE cls WHEN 0 THEN '{_SUBSTR_SHARED[0]}'
+                WHEN 1 THEN '{_SUBSTR_SHARED[1]}'
+                WHEN 2 THEN '{_SUBSTR_SHARED[2]}'
+                ELSE '{_SUBSTR_SHARED[3]}' END AS dup_text
+FROM c WHERE cls < 4
+UNION ALL
+SELECT doc_id,
+       CASE WHEN cls < 4 THEN 23 ELSE 13 END AS start_tok,
+       CASE WHEN cls < 4 THEN 38 ELSE 28 END AS end_tok,
+       16 AS n_tokens,
+       '{_SUBSTR_GLOBAL}' AS dup_text
+FROM c
 """,
         # precedence + decode restated analytically; the engine must
         # land on the same encoding label and identical decoded text

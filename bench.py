@@ -101,6 +101,7 @@ def main() -> None:
         "cdx_index",
         "cdx_revisits",
         "dedup_lines",
+        "dedup_substrings",
     ]
 
     timings: dict[str, float] = {}

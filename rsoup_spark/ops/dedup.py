@@ -577,3 +577,110 @@ def line_dedup(
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
         .cast("int").alias("n_removed"),
     )
+
+
+def duplicate_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 16,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    maximal runs of >= ``min_len`` whitespace tokens that appear in at
+    least two distinct documents.  The granularity between
+    ``line_dedup`` (whole repeated lines) and doc-level MinHash (whole
+    near-dup docs): quoted passages, syndicated paragraphs, licence
+    blocks embedded mid-document.
+
+    Method: every ``k``-token gram is keyed by a 16-hex-char md5 slice;
+    a gram occurring in >= 2 distinct docs is "duplicated"; per doc,
+    consecutive duplicated gram start positions merge into maximal
+    runs (gaps-and-islands), and a run of grams [p..q] covers tokens
+    [p .. q+k-1].  A run is reported when its token span >= min_len.
+    Cross-doc only by construction (distinct-doc df); intra-doc
+    repetition is ``repetition_stats``'s job.
+
+    -> (doc_id, start_tok, end_tok, n_tokens, dup_text), one row per
+    maximal duplicated run, token offsets 0-based inclusive.
+
+    Scale shape (no all-pairs anywhere, none of the shuffles skewed):
+      1. gram df: ``(gkey, doc) distinct`` partial-aggregates map-side,
+         then a count per gkey with map-side combine -- a planet-wide
+         boilerplate gram is ONE reducer row;
+      2. the left-semi join back runs on the gkey the df shuffle just
+         produced (co-located), and occurrence rows per doc are
+         bounded by the doc's own token count -- a hot gram can NOT
+         fan out (semi-join keeps, never multiplies);
+      3. run merge is one window shuffle on the doc key; the
+         reassembly join for dup_text rides the same doc-key exchange.
+    Suffix arrays (the paper's single-node structure) don't shard;
+    gram-df + island-merge is the same detector in shuffle algebra.
+    """
+    if k < 1 or min_len < k:
+        raise ValueError("need k >= 1 and min_len >= k")
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toked.where(F.size("__toks") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.slice("__toks", i + 1, k), "\x1f"
+                        )
+                    ),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("pos", "gkey"),
+    )
+    dup_keys = (
+        grams.select("gkey", id_col).distinct()
+        .groupBy("gkey").count()
+        .filter(F.col("count") >= 2)
+        .select("gkey")
+    )
+    hits = grams.join(dup_keys, "gkey", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        hits.withColumn(
+            "__brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__run")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k - 1).alias("end_tok"),
+        )
+        .withColumn(
+            "n_tokens",
+            (F.col("end_tok") - F.col("start_tok") + 1).cast("int"),
+        )
+        .filter(F.col("n_tokens") >= min_len)
+    )
+    return runs.join(toked, id_col).select(
+        id_col,
+        F.col("start_tok").cast("int"),
+        F.col("end_tok").cast("int"),
+        "n_tokens",
+        F.array_join(
+            F.slice("__toks", F.col("start_tok") + 1, F.col("n_tokens")),
+            " ",
+        ).alias("dup_text"),
+    )

@@ -362,3 +362,88 @@ class TestLineDedup:
                line_dedup(docs, min_df=3).collect()}
         assert got["0"]["clean_text"] == "intro 0\n\nbody 0\n"
         assert got["0"]["n_removed"] == 0
+
+
+@pytest.mark.spark
+class TestDuplicateSubstrings:
+    """ExactSubstr-style duplicated-run detection
+    (ops/dedup.py:duplicate_substrings)."""
+
+    def _run(self, spark, rows, **kw):
+        from rsoup_spark.ops.dedup import duplicate_substrings
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return sorted(
+            (r["doc_id"], r["start_tok"], r["end_tok"],
+             r["n_tokens"], r["dup_text"])
+            for r in duplicate_substrings(docs, **kw).collect()
+        )
+
+    def test_hand_computed_runs(self, spark):
+        # 6-token block shared by a and b, with unique delimiters; at
+        # k=3, min_len=4 the maximal run covers exactly the block
+        blk = "p q r s t u"
+        got = self._run(
+            spark,
+            [("a", f"a1 a2 {blk} a3"), ("b", f"b1 {blk} b2 b3")],
+            k=3, min_len=4,
+        )
+        assert got == [
+            ("a", 2, 7, 6, blk),
+            ("b", 1, 6, 6, blk),
+        ]
+
+    def test_two_runs_one_doc_and_min_len(self, spark):
+        # doc a shares TWO separated blocks with b (one above, one
+        # below min_len): only the long one survives; the short gap
+        # token is unique so the runs never merge
+        long_blk = "w1 w2 w3 w4 w5"
+        short_blk = "v1 v2 v3"
+        rows = [
+            ("a", f"{long_blk} ga {short_blk}"),
+            ("b", f"{long_blk} gb {short_blk}"),
+        ]
+        got = self._run(spark, rows, k=3, min_len=4)
+        assert got == [
+            ("a", 0, 4, 5, long_blk),
+            ("b", 0, 4, 5, long_blk),
+        ]
+
+    def test_intra_doc_repeats_not_flagged(self, spark):
+        # the block repeats twice inside ONE doc: df = 1 distinct doc,
+        # so nothing is reported (repetition_stats' territory)
+        blk = "r1 r2 r3 r4"
+        got = self._run(
+            spark,
+            [("a", f"{blk} mid {blk}"), ("b", "zz yy xx ww")],
+            k=3, min_len=3,
+        )
+        assert got == []
+
+    def test_short_docs_and_param_guard(self, spark):
+        import pytest as _pytest
+
+        from rsoup_spark.ops.dedup import duplicate_substrings
+
+        # docs shorter than k tokens produce no grams and no rows
+        got = self._run(
+            spark, [("a", "one two"), ("b", "one two")], k=3, min_len=3
+        )
+        assert got == []
+        docs = spark.createDataFrame([("a", "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="min_len >= k"):
+            duplicate_substrings(docs, k=4, min_len=3)
+
+    def test_run_is_maximal_not_per_gram(self, spark):
+        # overlapping duplicated grams merge into ONE maximal run,
+        # never one row per gram
+        blk = " ".join(f"t{i}" for i in range(12))
+        got = self._run(
+            spark,
+            [("a", f"ua {blk}"), ("b", f"{blk} ub")],
+            k=4, min_len=8,
+        )
+        assert got == [
+            ("a", 1, 12, 12, blk),
+            ("b", 0, 11, 12, blk),
+        ]
