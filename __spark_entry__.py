@@ -1345,6 +1345,38 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substrings(docs, k=8, min_len=16)
 
 
+# gopher_rules fixture: one class per rule, each violating exactly one
+# Gopher threshold (class 0 passes everything; class 4's bullet lines
+# use 4-char words so only the bullet ratio trips)
+_GOPHER_CLASSES = [
+    "the of " + "good word " * 29,                      # keep
+    "the of tiny doc",                                  # word count
+    "the of " + "abcdefghijkl " * 58,                   # mean word len
+    "the of " + "word " * 50 + "# " * 8,                # symbol ratio
+    "the of mix\n" + "- aaaa bbbb cccc dddd eeee ffff gggg\n" * 20,  # bullets
+    "the of " + "word 12345 " * 29,                     # alpha frac
+    "qqq www " * 30,                                    # stopwords
+]
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter flags (ops/textstats.py:gopher_rules) over
+    seven synthesized doc classes, each violating exactly one rule
+    (class 0 passes all).  The oracle re-derives every count and every
+    integer cross-multiplied threshold in SQL."""
+    from rsoup_spark.ops.textstats import gopher_rules
+
+    cls = F.col("doc_id") % 7
+    text = F.when(cls == 0, F.lit(_GOPHER_CLASSES[0]))
+    for c in range(1, 6):
+        text = text.when(cls == c, F.lit(_GOPHER_CLASSES[c]))
+    text = text.otherwise(F.lit(_GOPHER_CLASSES[6]))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return gopher_rules(docs)
+
+
 def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (sources/charset.py) over real WARC
     bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
@@ -2191,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset": q_warc_charset,
         "dedup_lines": q_dedup_lines,
         "dedup_substrings": q_dedup_substrings,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -2903,6 +2936,76 @@ SELECT doc_id,
        16 AS n_tokens,
        '{_SUBSTR_GLOBAL}' AS dup_text
 FROM c
+""",
+        # full SQL re-derivation of every Gopher count and threshold;
+        # the class texts are the same Python literals the query uses
+        "gopher_rules": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 7 AS INTEGER)
+      WHEN 0 THEN 'the of ' || repeat('good word ', 29)
+      WHEN 1 THEN 'the of tiny doc'
+      WHEN 2 THEN 'the of ' || repeat('abcdefghijkl ', 58)
+      WHEN 3 THEN 'the of ' || repeat('word ', 50) || repeat('# ', 8)
+      WHEN 4 THEN 'the of mix' || chr(10) ||
+                  repeat('- aaaa bbbb cccc dddd eeee ffff gggg'
+                         || chr(10), 20)
+      WHEN 5 THEN 'the of ' || repeat('word 12345 ', 29)
+      ELSE repeat('qqq www ', 30)
+    END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '') AS toks,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               l -> trim(l)), l -> l <> '') AS lines
+  FROM d
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(coalesce(list_aggregate(
+      list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT)
+      AS sum_word_len,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) / 3
+         + length(text) - length(replace(text, '…', '')) AS BIGINT)
+      AS n_ellipsis,
+    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+                                  OR l LIKE '•%')) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_filter(
+      ['the','be','to','of','and','that','have','with'],
+      w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+      AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, n_lines, sum_word_len, n_hash, n_ellipsis,
+       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+         AS r_word_len,
+       (n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words)
+         AS r_symbols,
+       (n_bullet_lines * 10 <= 9 * n_lines
+        AND n_ellipsis_lines * 10 <= 3 * n_lines) AS r_bullets,
+       (n_alpha_words * 10 >= 8 * n_words) AS r_alpha,
+       (n_stopwords >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (sum_word_len >= 3 * n_words
+             AND sum_word_len <= 10 * n_words)
+        AND (n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words)
+        AND (n_bullet_lines * 10 <= 9 * n_lines
+             AND n_ellipsis_lines * 10 <= 3 * n_lines)
+        AND (n_alpha_words * 10 >= 8 * n_words)
+        AND (n_stopwords >= 2)) AS keep
+FROM m
 """,
         # precedence + decode restated analytically; the engine must
         # land on the same encoding label and identical decoded text

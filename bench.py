@@ -102,6 +102,7 @@ def main() -> None:
         "cdx_revisits",
         "dedup_lines",
         "dedup_substrings",
+        "gopher_rules",
     ]
 
     timings: dict[str, float] = {}

@@ -564,3 +564,118 @@ def scrub_pii(
         clean = F.regexp_replace(clean, pat, repl)
     cols.append(clean.alias("clean_text"))
     return docs.select(*cols)
+
+
+# the Gopher rule thresholds (Rae et al. 2021, A1.1 "quality
+# filtering"), expressed as exact integer cross-multiplications below
+# so no engine ever divides: 0.1 -> c*10 <= n, 90% -> c*10 <= 9*n, ...
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, appendix A1.1) as
+    per-document boolean flags plus the underlying counts -- the
+    standard web-corpus document filter, complementing the scalar
+    ``quality_score``:
+
+      r_word_count   min_words <= words <= max_words
+      r_word_len     3 <= mean word length <= 10
+      r_symbols      hash and ellipsis each <= 0.1 per word
+      r_bullets      <= 90% of lines bullet-started, <= 30%
+                     ellipsis-ended
+      r_alpha        >= 80% of words contain an alphabetic char
+      r_stopwords    >= 2 distinct of the 8 Gopher stop words
+      keep           all of the above
+
+    Every ratio test is an integer cross-multiplication (never a
+    float division), so the flags replay bit-exactly in an analytic
+    SQL oracle and cannot flip on a rounding boundary.  Pure JVM
+    expressions end-to-end: one projection, map-only, rides
+    whole-stage codegen with the scan at any corpus size.  Tokens are
+    ``\\s+`` splits; a corpus with exotic Unicode whitespace should be
+    normalized upstream (``collapsed``) first.
+    """
+    text = F.col(text_col)
+    toks = F.filter(tokens(text), lambda t: t != "")
+    low = F.transform(toks, F.lower)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    # non-overlapping occurrence counts via the length/replace
+    # identity (same left-to-right semantics in Spark and DuckDB)
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ell = (
+        (F.length(text)
+         - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + F.length(text)
+        - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    ).cast("long")
+    # NB: F.trim must be wrapped -- its optional second parameter
+    # makes transform() pass the array index as the trim charset
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*")
+            | l.startswith("•"),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(low, w),
+        )
+    ).cast("long")
+
+    r_word_count = (n >= min_words) & (n <= max_words)
+    r_word_len = (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    r_symbols = (n_hash * 10 <= n) & (n_ell * 10 <= n)
+    r_bullets = (n_bullet * 10 <= 9 * n_lines) & (
+        n_ell_end * 10 <= 3 * n_lines
+    )
+    r_alpha = n_alpha * 10 >= 8 * n
+    r_stopwords = n_stop >= 2
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        n_lines.alias("n_lines"),
+        sum_len.alias("sum_word_len"),
+        n_hash.alias("n_hash"),
+        n_ell.alias("n_ellipsis"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_end.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        r_word_count.alias("r_word_count"),
+        r_word_len.alias("r_word_len"),
+        r_symbols.alias("r_symbols"),
+        r_bullets.alias("r_bullets"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count & r_word_len & r_symbols & r_bullets
+            & r_alpha & r_stopwords
+        ).alias("keep"),
+    )

@@ -446,3 +446,83 @@ def test_densify_then_pack_string_corpus(spark):
         want[(did, cid)] = (before // 10, before % 10)
         before += n
     assert got == want
+
+
+@pytest.mark.spark
+class TestGopherRules:
+    """Gopher quality-filter flags (ops/textstats.py:gopher_rules):
+    each rule isolated on a hand-computed doc, integer-exact ratios."""
+
+    def _flags(self, spark, rows, **kw):
+        from rsoup_spark.ops.textstats import gopher_rules
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r.asDict()
+                for r in gopher_rules(docs, **kw).collect()}
+
+    def test_each_rule_isolated(self, spark):
+        rows = [
+            ("good", "the of " + "good word " * 29),
+            ("short", "the of tiny doc"),
+            ("longwords", "the of " + "abcdefghijkl " * 58),
+            ("hashy", "the of " + "word " * 50 + "# " * 8),
+            ("bullets",
+             "the of mix\n" + "- aaaa bbbb cccc dddd eeee ffff gggg\n" * 20),
+            ("numeric", "the of " + "word 12345 " * 29),
+            ("nostop", "qqq www " * 30),
+        ]
+        got = self._flags(spark, rows)
+        fail_rule = {
+            "short": "r_word_count", "longwords": "r_word_len",
+            "hashy": "r_symbols", "bullets": "r_bullets",
+            "numeric": "r_alpha", "nostop": "r_stopwords",
+        }
+        assert got["good"]["keep"] is True
+        rules = ["r_word_count", "r_word_len", "r_symbols",
+                 "r_bullets", "r_alpha", "r_stopwords"]
+        for did, bad in fail_rule.items():
+            assert got[did]["keep"] is False, did
+            for rule in rules:
+                assert got[did][rule] is (rule != bad), (did, rule)
+
+    def test_counts_hand_computed(self, spark):
+        got = self._flags(spark, [
+            ("e", "the of " + "word... " * 50),
+            ("u", "the of w… and x… plus " + "pad " * 50),
+        ])
+        # 'word...' is one 7-char token; 50 ascii ellipses
+        assert got["e"]["n_words"] == 52
+        assert got["e"]["n_ellipsis"] == 50
+        assert got["e"]["r_symbols"] is False  # 500 > 52
+        # unicode ellipsis counted too: 2 in 56 words -> ratio ok
+        assert got["u"]["n_ellipsis"] == 2
+        assert got["u"]["r_symbols"] is True
+
+    def test_empty_and_whitespace_docs(self, spark):
+        # SQL TRIM strips spaces only (both engines), so the tab line
+        # in c counts as a (non-bullet) line while b's space lines
+        # vanish; either way no 0-division trap and no keep
+        got = self._flags(spark, [("a", ""), ("b", "  \n  "),
+                                  ("c", "  \n\t ")])
+        assert [got[d]["n_lines"] for d in "abc"] == [0, 0, 1]
+        for d in ("a", "b", "c"):
+            assert got[d]["n_words"] == 0
+            assert got[d]["keep"] is False      # word count floor
+            assert got[d]["r_bullets"] is True  # no 0-division trap
+
+    def test_boundaries_inclusive(self, spark):
+        # exactly 50 words of exactly 3 chars, 2 stopwords -> keep;
+        # mean word length lands ON the lower bound (3.0)
+        text = "the and " + "aaa " * 48
+        got = self._flags(spark, [("b", text)])
+        assert got["b"]["n_words"] == 50
+        assert got["b"]["sum_word_len"] == 150
+        assert got["b"]["keep"] is True
+
+    def test_word_count_bounds_configurable(self, spark):
+        got = self._flags(
+            spark, [("a", "the of one two three")],
+            min_words=5, max_words=5,
+        )
+        assert got["a"]["r_word_count"] is True
+        assert got["a"]["keep"] is True
