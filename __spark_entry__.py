@@ -1377,6 +1377,47 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
+# c4_filters fixture: class 0 keeps, 1 has too few sentences, 2 trips
+# the policy phrase, 3 the curly-brace tell, 4 loses every line to the
+# terminal-punctuation / min-words line filter
+_C4_GOOD = (
+    "One good sentence here.\nAnother fine sentence there.\n"
+    "A third sentence lands.\nA fourth sentence too.\nThe fifth one ends."
+)
+_C4_CLASSES = [
+    _C4_GOOD,
+    "Only one sentence here.\nAnd a second one.",
+    _C4_GOOD + "\nLorem Ipsum dolor sit.",
+    _C4_GOOD + "\nCode with brace { here }.",
+    "no terminal punct line\nshort.\nanother bare line",
+]
+
+
+# the same class texts as SQL string expressions (newlines -> chr(10)
+# concatenation), so the oracle and the query share one set of literals
+_C4_SQL = [
+    "'" + s.replace("\n", "' || chr(10) || '") + "'" for s in _C4_CLASSES
+]
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (ops/textstats.py:c4_filters) over five
+    synthesized doc classes, one per rejection path (class 0 keeps).
+    The oracle re-derives line filtering, sentence counting, and the
+    policy/brace flags in SQL."""
+    from rsoup_spark.ops.textstats import c4_filters
+
+    cls = F.col("doc_id") % 5
+    text = F.when(cls == 0, F.lit(_C4_CLASSES[0]))
+    for c in range(1, 4):
+        text = text.when(cls == c, F.lit(_C4_CLASSES[c]))
+    text = text.otherwise(F.lit(_C4_CLASSES[4]))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return c4_filters(docs)
+
+
 def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (sources/charset.py) over real WARC
     bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
@@ -2224,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_substrings": q_dedup_substrings,
         "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
     }
 
 
@@ -3006,6 +3048,57 @@ SELECT doc_id, n_words, n_lines, sum_word_len, n_hash, n_ellipsis,
         AND (n_alpha_words * 10 >= 8 * n_words)
         AND (n_stopwords >= 2)) AS keep
 FROM m
+""",
+        # full SQL re-derivation of the C4 line filter, sentence-run
+        # count, and policy/brace flags over the shared class literals
+        "c4_filters": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN {_C4_SQL[0]}
+      WHEN 1 THEN {_C4_SQL[1]}
+      WHEN 2 THEN {_C4_SQL[2]}
+      WHEN 3 THEN {_C4_SQL[3]}
+      ELSE {_C4_SQL[4]}
+    END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               l -> trim(l)), l -> l <> '') AS lines
+  FROM d
+), k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l ->
+      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                          x -> x <> '')) >= 3) AS kept
+  FROM t
+)
+SELECT doc_id,
+       -- duckdb's array_to_string of an empty list is NULL; Spark's
+       -- array_join is '' (engine parity)
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST(coalesce(list_aggregate(
+         list_transform(kept,
+           l -> len(regexp_extract_all(l, '[.!?"]+'))), 'sum'), 0)
+         AS BIGINT) AS n_sentences,
+       (contains(lower(text), 'lorem ipsum')
+        OR contains(lower(text), 'javascript must be enabled'))
+         AS has_policy,
+       (contains(lower(text), '{{')
+        OR contains(lower(text), '}}')) AS has_brace,
+       (CAST(coalesce(list_aggregate(
+          list_transform(kept,
+            l -> len(regexp_extract_all(l, '[.!?"]+'))), 'sum'), 0)
+          AS BIGINT) >= 5
+        AND NOT (contains(lower(text), 'lorem ipsum')
+                 OR contains(lower(text), 'javascript must be enabled'))
+        AND NOT (contains(lower(text), '{{')
+                 OR contains(lower(text), '}}'))) AS keep
+FROM k
 """,
         # precedence + decode restated analytically; the engine must
         # land on the same encoding label and identical decoded text

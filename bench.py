@@ -103,6 +103,7 @@ def main() -> None:
         "dedup_lines",
         "dedup_substrings",
         "gopher_rules",
+        "c4_filters",
     ]
 
     timings: dict[str, float] = {}

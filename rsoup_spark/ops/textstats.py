@@ -679,3 +679,80 @@ def gopher_rules(
             & r_alpha & r_stopwords
         ).alias("keep"),
     )
+
+
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2 "Colossal Clean
+# Crawled Corpus").  The policy filter terms are the paper's public
+# examples, not a blocklist shipped here.
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+C4_POLICY_TERMS = ("lorem ipsum", "javascript must be enabled")
+
+
+def c4_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, section 2.2) as a
+    per-document transform: keep only lines that end in terminal
+    punctuation (. ! ? ") and have >= ``min_line_words`` words, then
+    flag pages that keep fewer than ``min_sentences`` sentences,
+    contain a policy phrase (case-insensitive), or contain a curly
+    brace (the paper's code-page tell).  The span-level "three
+    sentence dedup" step is ``duplicate_substrings``'s job.
+
+    -> (doc_id, clean_text, n_lines, n_kept, n_sentences, has_policy,
+    has_brace, keep); clean_text is the kept lines rejoined with
+    newlines, '' when nothing survives.
+
+    Sentences are counted as terminal-punctuation runs inside kept
+    lines -- the paper's own heuristic granularity, not a linguistic
+    segmenter.  One map-only JVM projection (split / filter /
+    array_join / regexp_count), so the filter rides whole-stage
+    codegen with the scan; counts are integers and the oracle replays
+    them exactly.
+    """
+    text = F.col(text_col)
+    trimmed = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    raw_lines = F.filter(trimmed, lambda l: l != "")
+    kept = F.filter(
+        raw_lines,
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+            >= min_line_words
+        ),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.when(
+        F.size(kept) > 0,
+        F.aggregate(
+            kept,
+            F.lit(0).cast("long"),
+            lambda a, l: a
+            + F.regexp_count(l, F.lit(r"""[.!?"]+""")).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    low = F.lower(text)
+    has_policy = F.lit(False)
+    for term in C4_POLICY_TERMS:
+        has_policy = has_policy | low.contains(term)
+    has_brace = low.contains("{") | low.contains("}")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(raw_lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_policy.alias("has_policy"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= min_sentences) & ~has_policy & ~has_brace
+        ).alias("keep"),
+    )

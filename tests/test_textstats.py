@@ -526,3 +526,71 @@ class TestGopherRules:
         )
         assert got["a"]["r_word_count"] is True
         assert got["a"]["keep"] is True
+
+
+@pytest.mark.spark
+class TestC4Filters:
+    """C4 cleaning heuristics (ops/textstats.py:c4_filters)."""
+
+    def _rows(self, spark, rows, **kw):
+        from rsoup_spark.ops.textstats import c4_filters
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r.asDict()
+                for r in c4_filters(docs, **kw).collect()}
+
+    def test_line_filter_and_keep(self, spark):
+        good = ("A first full sentence.\nA second full sentence!\n"
+                "A third full one?\nA fourth one here.\nThe fifth lands.")
+        got = self._rows(spark, [
+            ("good", good),
+            ("few", "Only one sentence here.\nAnd a second one."),
+            ("lorem", good + "\nLorem Ipsum dolor sit."),
+            ("brace", good + "\nBrace { in code }."),
+            ("bare", "no terminal punct\nshort.\nanother bare line"),
+        ])
+        assert got["good"]["keep"] is True
+        assert got["few"]["keep"] is False and got["few"]["n_sentences"] == 2
+        assert got["lorem"]["has_policy"] is True
+        assert got["lorem"]["keep"] is False
+        assert got["brace"]["has_brace"] is True
+        assert got["brace"]["keep"] is False
+        # the bare doc loses every line: no terminal punct, and the
+        # one punctuated line has < 3 words
+        assert got["bare"]["n_kept"] == 0
+        assert got["bare"]["clean_text"] == ""
+        assert got["bare"]["keep"] is False
+
+    def test_sentence_runs_counted_not_chars(self, spark):
+        # 'Wait... what?! Really?' = three terminal runs, not six chars
+        got = self._rows(
+            spark, [("m", 'He said "go".\nWait... what?! Really?')],
+        )
+        # line 1: one " run mid-line + one ". run = 2; line 2: 3 runs
+        assert got["m"]["n_sentences"] == 5
+
+    def test_quote_terminal_and_min_line_words(self, spark):
+        got = self._rows(
+            spark,
+            [("q", 'A quoted ending line "\nToo few.')],
+            min_sentences=1,
+        )
+        assert got["q"]["n_kept"] == 1  # quote line kept, short dropped
+        assert got["q"]["clean_text"] == 'A quoted ending line "'
+        assert got["q"]["keep"] is True
+
+    def test_policy_match_case_insensitive(self, spark):
+        got = self._rows(
+            spark,
+            [("p", "This mentions LOREM IPSUM plainly today okay fine.")],
+            min_sentences=1,
+        )
+        assert got["p"]["has_policy"] is True
+        assert got["p"]["keep"] is False
+
+    def test_empty_doc(self, spark):
+        got = self._rows(spark, [("e", "")])
+        assert (got["e"]["n_lines"], got["e"]["n_kept"],
+                got["e"]["n_sentences"]) == (0, 0, 0)
+        assert got["e"]["clean_text"] == ""
+        assert got["e"]["keep"] is False
