@@ -447,3 +447,55 @@ class TestDuplicateSubstrings:
             ("a", 1, 12, 12, blk),
             ("b", 0, 11, 12, blk),
         ]
+
+
+@pytest.mark.spark
+def test_duplicate_substrings_fuzz_vs_bruteforce(spark):
+    """Randomized corpora vs an independent brute-force reference:
+    enumerate every k-gram per doc, mark grams seen in >= 2 distinct
+    docs, merge adjacent positions, emit runs >= min_len tokens.  Small
+    vocabulary forces heavy cross-doc overlap, repeats, and boundary
+    runs."""
+    import random
+
+    from rsoup_spark.ops.dedup import duplicate_substrings
+
+    rng = random.Random(20260818)
+    k, min_len = 3, 5
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(0, 25))))
+        for i in range(30)
+    ]
+
+    def brute(corpus):
+        grams: dict = {}
+        for did, text in corpus:
+            toks = text.split()
+            for p in range(len(toks) - k + 1):
+                grams.setdefault(tuple(toks[p:p + k]), set()).add(did)
+        dup = {g for g, dids in grams.items() if len(dids) >= 2}
+        out = []
+        for did, text in corpus:
+            toks = text.split()
+            hits = [p for p in range(len(toks) - k + 1)
+                    if tuple(toks[p:p + k]) in dup]
+            run: list = []
+            for p in hits + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    start, end = run[0], run[-1] + k - 1
+                    if end - start + 1 >= min_len:
+                        out.append((did, start, end, end - start + 1,
+                                    " ".join(toks[start:end + 1])))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return sorted(out)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        tuple(r) for r in
+        duplicate_substrings(df, k=k, min_len=min_len).collect()
+    )
+    assert got == brute(docs)
