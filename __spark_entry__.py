@@ -1418,6 +1418,64 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(docs)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier
+    (ops/textstats.py:quality_classifier) over the real documents
+    table: unigram + adjacent-bigram features -> md5 bucket -> integer
+    weight -> integer dot product -> keep threshold.  The oracle
+    replays the full hashing trick (both md5 derivations, the mod
+    arithmetic, the signed shift) in SQL, so any drift in feature
+    extraction or scoring goes red."""
+    from rsoup_spark.ops.textstats import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_classifier(docs)
+
+
+# crawl_traps fixture: four URL classes, one per admission path --
+# a plain over-budget article template (0), a calendar template with a
+# hex session segment and sorted query-name collapsing (1), a path-loop
+# trap (2), and a depth trap (3)
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template crawl admission (crawl/traps.py:url_templates)
+    over four synthesized URL classes: template masking (hex -> H,
+    digits -> N, sorted query names), adjacent-segment loop tell,
+    depth tell, and the per-template budget.  The oracle re-derives
+    host/path/query splitting, both maskings, the loop scan, and every
+    distinct count in SQL."""
+    from rsoup_spark.crawl.traps import url_templates
+
+    d = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 4
+    url = (
+        F.when(cls == 0, F.concat(F.lit("https://ok.example/articles/"), d))
+        .when(
+            cls == 1,
+            F.concat(
+                F.lit("https://cal.example/sess/deadbeefcafe/events?date="),
+                d,
+                F.lit("&page="),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .when(
+            cls == 2,
+            F.concat(F.lit("https://loop.example/a/b/b/item"), d),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "https://deep.example/s1/s2/s3/s4/s5/s6/s7/s8/s9"
+                    "/s10/s11/s12/s13/p"
+                ),
+                d,
+            )
+        )
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    return url_templates(urls)
+
+
 def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (sources/charset.py) over real WARC
     bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
@@ -2266,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
+        "quality_classifier": q_quality_classifier,
+        "crawl_traps": q_crawl_traps,
     }
 
 
@@ -3099,6 +3159,85 @@ SELECT doc_id,
         AND NOT (contains(lower(text), '{{')
                  OR contains(lower(text), '}}'))) AS keep
 FROM k
+""",
+        # the full hashing trick replayed in SQL: unigram+bigram
+        # features, md5 bucket (mod 4096), md5-derived signed integer
+        # weight (mod 2001 - 1000), integer sum, threshold at 0
+        "quality_classifier": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(
+      lower(substr(text, 1, 100000)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    list_concat(toks,
+      list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS feats
+  FROM t
+), s AS (
+  SELECT doc_id,
+    CAST(len(feats) AS BIGINT) AS n_features,
+    CAST(coalesce(list_aggregate(list_transform(feats, x ->
+      CAST(('0x' || substr(md5('w|' || CAST(
+          (('0x' || substr(md5('q|' || x), 1, 15))::UBIGINT % 4096)
+          AS VARCHAR)), 1, 15))::UBIGINT % 2001 AS BIGINT) - 1000
+    ), 'sum'), 0) AS BIGINT) AS score
+  FROM f
+)
+SELECT doc_id, n_features, score, (score >= 0) AS keep FROM s
+""",
+        # template masking, loop/depth tells, and the per-template
+        # distinct counts + budget re-derived over the class URLs
+        "crawl_traps": """
+WITH u AS (
+  SELECT CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'https://ok.example/articles/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'https://cal.example/sess/deadbeefcafe/events?date='
+                || CAST(doc_id AS VARCHAR) || '&page='
+                || CAST(doc_id % 3 AS VARCHAR)
+    WHEN 2 THEN 'https://loop.example/a/b/b/item'
+                || CAST(doc_id AS VARCHAR)
+    ELSE 'https://deep.example/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13/p'
+         || CAST(doc_id AS VARCHAR)
+  END AS url
+  FROM documents
+), p AS (
+  SELECT url,
+    regexp_extract(url, '^https?://([^/#?]+)', 1) AS host,
+    regexp_extract(url, '^https?://[^/#?]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), e AS (
+  SELECT url, host,
+    regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', 'H', 'g'),
+                   '[0-9]+', 'N', 'g') AS tpl_path,
+    list_sort(list_transform(
+      list_filter(string_split(query, '&'), x -> x <> ''),
+      x -> string_split(x, '=')[1])) AS qnames,
+    list_filter(string_split(path, '/'), s -> s <> '') AS segs
+  FROM p
+), t AS (
+  SELECT url, host,
+    CASE WHEN len(qnames) > 0
+         THEN tpl_path || '?' || array_to_string(qnames, '&')
+         ELSE tpl_path END AS template,
+    len(list_filter(range(1, len(segs)),
+                    i -> segs[i] = segs[i+1])) > 0 AS is_loop,
+    len(segs) > 12 AS is_deep
+  FROM e
+)
+SELECT host, template,
+  count(DISTINCT url)::BIGINT AS n_urls,
+  count(DISTINCT CASE WHEN is_loop THEN url END)::BIGINT AS n_loop,
+  count(DISTINCT CASE WHEN is_deep THEN url END)::BIGINT AS n_deep,
+  count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END
+        )::BIGINT AS n_admissible,
+  least(count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep
+                       THEN url END), 50)::BIGINT AS n_kept,
+  (count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END)
+   > 50) AS over_budget
+FROM t GROUP BY 1, 2
 """,
         # precedence + decode restated analytically; the engine must
         # land on the same encoding label and identical decoded text

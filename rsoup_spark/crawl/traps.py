@@ -1,0 +1,148 @@
+"""Crawler-trap detection and per-template admission control.
+
+A frontier at 10^10-URL scale dies on traps: calendar pages that mint
+a new URL per day forever, session ids that make every visit a "new"
+page, and path loops (``/a/b/b/...``) that grow without bound.  The
+standard defenses (Heritrix's pathological-path rules and queue
+budgets, IRLbot's budget enforcement) are all *per-URL-template*: URLs
+are collapsed to a template by masking the volatile parts, and each
+(host, template) gets a crawl budget plus structural trap tells.
+
+``url_templates`` computes that table:
+
+* template = path with long-hex runs -> ``H`` and digit runs -> ``N``,
+  plus the *sorted query-parameter names* (values dropped) -- so
+  ``/events?date=2024-06-01&page=2`` and ``/events?page=9&date=...``
+  share one template while ``/articles/123`` and ``/articles/9`` do.
+* loop tell = any adjacent repeated path segment (the cheapest robust
+  path-loop signature that needs no backreference, so the same regex-
+  free array scan replays in RE2-only engines).
+* depth tell = more than ``max_depth`` path segments.
+
+Everything is integer/string-exact, map-only up to ONE groupBy on
+(host, template) with map-side combine -- the output is templates, not
+URLs, so the shuffle is template-sized.  Admission at crawl time is a
+broadcast join of candidates against the (tiny) over-budget template
+list; the operator itself never touches the frontier so crawl-order
+oracle equality is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRAP_BUDGET = 50  # max admissible URLs crawled per (host, template)
+TRAP_MAX_DEPTH = 12  # path segments beyond this are a trap tell
+
+
+def _segments(path: Column) -> Column:
+    return F.filter(F.split(path, "/"), lambda s: s != "")
+
+
+def _has_adjacent_dup(segs: Column) -> Column:
+    """True iff some path segment equals its successor (path-loop
+    tell).  Array-scan, no backreference: RE2-compatible by
+    construction because there is no regex at all."""
+    n = F.size(segs)
+    k = F.greatest(n - 1, F.lit(0))
+    return F.exists(
+        F.zip_with(
+            F.slice(segs, 1, k), F.slice(segs, 2, k), lambda a, b: a == b
+        ),
+        lambda x: x,
+    )
+
+
+def url_template(url: Column) -> tuple[Column, Column, Column]:
+    """(host, template, segments) for one URL column.  Hex runs of 8+
+    chars mask first (session ids), then any digit run -- both with
+    patterns that mean the same thing in Java regex and RE2."""
+    host = F.regexp_extract(url, r"^https?://([^/#?]+)", 1)
+    path = F.regexp_extract(url, r"^https?://[^/#?]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    tpl_path = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-fA-F]{8,}", "H"), "[0-9]+", "N"
+    )
+    qnames = F.array_sort(
+        F.transform(
+            F.filter(F.split(query, "&"), lambda p: p != ""),
+            lambda p: F.split(p, "=").getItem(0),
+        )
+    )
+    template = F.when(
+        F.size(qnames) > 0,
+        F.concat(tpl_path, F.lit("?"), F.array_join(qnames, "&")),
+    ).otherwise(tpl_path)
+    return host, template, _segments(path)
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    budget: int = TRAP_BUDGET,
+    max_depth: int = TRAP_MAX_DEPTH,
+) -> DataFrame:
+    """Per-(host, template) admission table over a URL corpus:
+
+      n_urls        distinct URLs collapsing to the template
+      n_loop        distinct URLs with an adjacent repeated segment
+      n_deep        distinct URLs deeper than ``max_depth`` segments
+      n_admissible  distinct URLs with neither trap tell
+      n_kept        least(n_admissible, budget)
+      over_budget   n_admissible > budget (template needs rationing)
+
+    One map-only projection then two keyed aggregations: dedupe on
+    (host, template, url) first (map-side partial collapses repeat
+    discoveries before the exchange), then plain conditional counts on
+    (host, template).  Deduping first instead of countDistinct keeps
+    the multi-distinct Expand (a 4x map-side row blowup) out of the
+    plan, and the second exchange carries templates (bounded by site
+    structure), never pages.  Hot hosts hash across partitions by
+    template, which is exactly the skew split a per-host key would not
+    give.
+    """
+    url = F.col(url_col)
+    host, template, segs = url_template(url)
+    per_url = df.select(
+        url.alias("url"),
+        host.alias("host"),
+        template.alias("template"),
+        _has_adjacent_dup(segs).alias("is_loop"),
+        (F.size(segs) > max_depth).alias("is_deep"),
+    )
+    # is_loop / is_deep are pure functions of the url, so any
+    # representative row carries them through the dedupe
+    distinct = per_url.groupBy("host", "template", "url").agg(
+        F.first("is_loop").alias("is_loop"),
+        F.first("is_deep").alias("is_deep"),
+    )
+    adm = ~F.col("is_loop") & ~F.col("is_deep")
+    one = F.lit(1).cast("long")
+    return (
+        distinct.groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("is_loop"), one).otherwise(0))
+            .cast("long")
+            .alias("n_loop"),
+            F.sum(F.when(F.col("is_deep"), one).otherwise(0))
+            .cast("long")
+            .alias("n_deep"),
+            F.sum(F.when(adm, one).otherwise(0))
+            .cast("long")
+            .alias("n_admissible"),
+        )
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_loop",
+            "n_deep",
+            "n_admissible",
+            F.least(F.col("n_admissible"), F.lit(int(budget)))
+            .cast("long")
+            .alias("n_kept"),
+            (F.col("n_admissible") > int(budget)).alias("over_budget"),
+        )
+    )

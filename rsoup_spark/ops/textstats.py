@@ -756,3 +756,104 @@ def c4_filters(
             (n_sent >= min_sentences) & ~has_policy & ~has_brace
         ).alias("keep"),
     )
+
+
+# hashed linear quality classifier (the fastText-style filter used by
+# CCNet / DCLM-class pipelines to score documents against a reference
+# corpus).  No model file ships here: weights are md5-derived from the
+# bucket id, so the operator is a deterministic, engine-portable
+# stand-in with the exact production dataflow (hashing-trick features
+# -> integer dot product -> threshold); swapping in trained weights is
+# a broadcast join on `bucket` against a (bucket, weight) table.
+QC_DIM = 4096  # feature buckets; 2^12 keeps the bucket id tiny
+QC_WEIGHT_SPAN = 1000  # weights drawn integer-uniform in [-span, span]
+QC_MAX_CHARS = 100_000  # same per-doc work/overflow cap as quality_score
+
+
+def _qc_bucket(tok: Column, dim: int) -> Column:
+    """Engine-portable feature bucket: md5('q|' + token) top-60-bit
+    int mod dim (the count-min sketch construction, sketch.py:_cell)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("q|"), tok)), 1, 15), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(int(dim)))
+
+
+def _qc_weight(bucket: Column, span: int) -> Column:
+    """Deterministic integer weight for a bucket: md5('w|' + bucket)
+    top-60-bit int mod (2*span+1), shifted to [-span, span]."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w|"), bucket.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(2 * int(span) + 1)) - int(span)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = QC_DIM,
+    span: int = QC_WEIGHT_SPAN,
+    threshold: int = 0,
+) -> DataFrame:
+    """Score documents with a hashed linear classifier over unigram +
+    adjacent-bigram features (the hashing trick: feature -> md5 bucket
+    mod ``dim`` -> integer weight), keep iff ``score >= threshold``.
+
+    This is the corpus-quality *classifier* step of a web-pipeline
+    (CCNet / DCLM style), distinct from the rule filters
+    (``gopher_rules``, ``c4_filters``): a linear model over sparse
+    hashed n-grams.  Everything stays integer (weights are integers,
+    the score is their sum), so the decision replays bit-exactly in a
+    SQL oracle and can never flip on float rounding.
+
+    Scale shape: map-only.  Features never explode to rows -- the
+    token array is transformed and summed in place with JVM array
+    expressions (``transform`` + ``aggregate``), so a 100 TB corpus
+    pays one projection, no shuffle, no per-token row blowup.  Work
+    and the int64 score bound are capped by ``QC_MAX_CHARS``
+    (|score| <= 2 * (cap/2 + 1) * span << 2^63).
+
+    Real trained weights drop in by replacing ``_qc_weight`` with a
+    broadcast (bucket, weight) lookup -- the feature hashing and the
+    aggregation shape are unchanged.
+
+    Tokenization and the feature array are staged in their own
+    projections: Catalyst's CollapseProject keeps a non-cheap
+    expression that is consumed more than once in its own node rather
+    than duplicating it, so each row is split and each feature array
+    built exactly once.
+    """
+    text = F.substring(F.col(text_col), 1, QC_MAX_CHARS)
+    staged = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(text), r"\s+"), lambda t: t != ""
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    featured = staged.select(
+        F.col(id_col), F.concat(toks, bigrams).alias("__feats")
+    )
+    feats = F.col("__feats")
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _qc_weight(_qc_bucket(t, dim), span),
+    )
+    return featured.select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_features"),
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )
