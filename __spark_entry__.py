@@ -1476,6 +1476,27 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(urls)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/similarity.py:semdedup) over the embeddings table
+    plus planted near-duplicates: every tenth vector re-enters at
+    id+10000 scaled by 2 (cosine-invariant, so a *semantic* duplicate
+    that no exact/byte dedup would catch).  The oracle replays centroid
+    pick, cell argmax, the capped-anchor join, and the 6dp-rounded
+    threshold in SQL."""
+    from rsoup_spark.ops.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias(
+            "embedding"
+        ),
+    )
+    return semdedup(emb.unionByName(planted), threshold=0.95)
+
+
 def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (sources/charset.py) over real WARC
     bytes, one precedence case per doc_id % 4: UTF-8 BOM overriding a
@@ -2326,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "quality_classifier": q_quality_classifier,
         "crawl_traps": q_crawl_traps,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3238,6 +3260,41 @@ SELECT host, template,
   (count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END)
    > 50) AS over_budget
 FROM t GROUP BY 1, 2
+""",
+        # SemDeDup replayed in SQL: planted scaled copies, centroid
+        # pick, cell argmax, capped-anchor join, 6dp-rounded threshold
+        "semdedup": """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 2)
+  FROM embeddings WHERE vec_id % 10 = 0
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM corpus
+  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c0.vec_id, c0.v, c.cid AS cell,
+           row_number() OVER (PARTITION BY c0.vec_id
+             ORDER BY list_cosine_similarity(c0.v, c.cv) DESC,
+                      c.cid ASC) AS rn
+    FROM corpus c0 CROSS JOIN cents c
+  ) WHERE rn = 1
+), anch AS (
+  SELECT vec_id AS aid, v AS av, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS ar
+  FROM assign
+), hits AS (
+  SELECT a.vec_id, min(n.aid) AS dup_of,
+         max(round(list_cosine_similarity(a.v, n.av), 6)) AS max_cos
+  FROM assign a JOIN anch n USING (cell)
+  WHERE n.ar <= 1000 AND n.aid < a.vec_id
+    AND round(list_cosine_similarity(a.v, n.av), 6) >= 0.95
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cell, (h.dup_of IS NULL) AS keep,
+       h.dup_of, h.max_cos
+FROM assign a LEFT JOIN hits h USING (vec_id)
 """,
         # precedence + decode restated analytically; the engine must
         # land on the same encoding label and identical decoded text

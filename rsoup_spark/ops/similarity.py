@@ -10,6 +10,9 @@
                           bucket join replaces the corpus-wide cross
                           product; multi-probe = more plane sets.
 * ``embedding_dup_pairs`` -- near-duplicate detection by cosine >= tau.
+* ``semdedup``         -- SemDeDup (Abbas et al. 2023): cluster
+                          embeddings, mark within-cluster near-dups,
+                          keep one representative per duplicate set.
 """
 
 from __future__ import annotations
@@ -214,6 +217,45 @@ def lsh_ann_topk(
     )
 
 
+def _pick_centroids(corpus, n_cells, id_col, vec_col, centroid_stride):
+    """Bounded deterministic centroid sample: the ``n_cells`` smallest
+    ids with id % centroid_stride == 0 -- only ``n_cells`` rows ever
+    reach the driver (never the full id set), so centroid picking stays
+    O(n_cells) at any corpus size."""
+    return (
+        corpus.where(F.col(id_col) % centroid_stride == 0)
+        .orderBy(id_col)
+        .limit(n_cells)  # bounded: exactly n_cells rows to the driver
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .collect()
+    )
+
+
+def _cent_lit(vec):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _cell_assigner(cents):
+    """argmax_centroid cosine, ties -> smallest centroid id; a per-row
+    JVM expression against broadcast centroid literals (map-only)."""
+
+    def cell_of(vec_col_expr):
+        structs = F.array(*[
+            F.struct(
+                cosine(vec_col_expr, _cent_lit(r["cv"])).alias("cos"),
+                F.lit(-int(r["cid"])).alias("negcid"),
+            )
+            for r in cents
+        ])
+        best = F.array_max(structs)
+        return (-best["negcid"]).alias("cell")
+
+    return cell_of
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,31 +282,9 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cents = (
-        corpus.where(F.col(id_col) % centroid_stride == 0)
-        .orderBy(id_col)
-        .limit(n_cells)  # bounded: exactly n_cells rows to the driver
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-        .collect()
-    )
-
-    def _cent_lit(vec):
-        return F.array(*[F.lit(float(x)) for x in vec])
-
-    def cell_of(vec_col_expr):
-        """argmax_centroid cosine, ties -> smallest centroid id."""
-        structs = F.array(*[
-            F.struct(
-                cosine(vec_col_expr, _cent_lit(r["cv"])).alias("cos"),
-                F.lit(-int(r["cid"])).alias("negcid"),
-            )
-            for r in cents
-        ])
-        best = F.array_max(structs)
-        return (-best["negcid"]).alias("cell")
+    cents = _pick_centroids(corpus, n_cells, id_col, vec_col,
+                            centroid_stride)
+    cell_of = _cell_assigner(cents)
 
     def probes_of(vec_col_expr):
         """n_probe nearest cells, cos desc then centroid id asc."""
@@ -308,6 +328,94 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 31,
+    cell_cap: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and pruning within-cluster near-duplicates.
+
+    Vectors are assigned to the nearest of ``n_cells`` deterministic
+    centroids (the ``ivf_topk`` assignment, map-only against broadcast
+    centroid literals); within each cell, a vector is a duplicate iff
+    some lower-id *anchor* in the same cell has cosine >= ``threshold``
+    with it, and the kept representative of every duplicate set is its
+    smallest id (a deterministic stand-in for the paper's
+    farthest-from-centroid choice).  Cosines compare ROUNDED to 6dp so
+    the keep decision can never flip on a cross-engine float ulp.
+
+    Scale shape: never all-pairs.  The only comparisons are cell-local
+    (corpus vs the cell's ``cell_cap`` smallest-id anchors), so work is
+    O(|cell| * cell_cap) per cell and the join is keyed on ``cell`` --
+    co-located, skew-bounded by the cap, no broadcast of the corpus.
+    A monster cell (degenerate embeddings, the LSH hot-bucket class of
+    problem) degrades to capped-anchor comparison instead of going
+    quadratic; vectors beyond the cap can still be *marked* duplicates,
+    they just can't anchor new ones.
+
+    Returns (vec_id, cell, keep, dup_of, max_cos): ``dup_of`` is the
+    smallest anchor id that marked the vector (NULL when kept),
+    ``max_cos`` its best within-cell similarity to a lower anchor.
+
+    The assignment subtree is referenced three times (anchors, probe
+    side, final left join); it is left declarative -- each re-read is
+    a column-pruned parquet scan plus 16 cosines/row, cheaper at
+    cluster scale than caching the vector column -- but a caller
+    iterating semdedup over one hot corpus should persist upstream.
+    """
+    from pyspark.sql.window import Window
+
+    cents = _pick_centroids(corpus, n_cells, id_col, vec_col,
+                            centroid_stride)
+    cell_of = _cell_assigner(cents)
+    assign = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        cell_of(F.col(vec_col).cast("array<double>")),
+    )
+    anchors = (
+        assign.withColumn(
+            "ar",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy("vec_id")
+            ),
+        )
+        .where(F.col("ar") <= cell_cap)
+        .select(
+            F.col("vec_id").alias("aid"),
+            F.col("v").alias("av"),
+            "cell",
+        )
+    )
+    hits = (
+        assign.join(anchors, "cell")
+        .where(F.col("aid") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "aid",
+            F.round(cosine(F.col("v"), F.col("av")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.min("aid").alias("dup_of"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return assign.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        "max_cos",
     )
 
 
