@@ -104,6 +104,9 @@ def main() -> None:
         "dedup_substrings",
         "gopher_rules",
         "c4_filters",
+        "quality_classifier",
+        "crawl_traps",
+        "semdedup",
     ]
 
     timings: dict[str, float] = {}

@@ -15,6 +15,13 @@ crawl-order and seen-set equality are asserted in tests):
    a disallow prefix are dropped for good (counted), unless an equally
    long or longer allow prefix matches (RFC 9309 longest-match-wins,
    allow winning ties; robots.py parses raw robots.txt to this form).
+1b. (cfg.template_budget) per-(host, url-template) trap rationing
+   against crawler traps (crawl/traps.py masking): templates whose
+   lifetime schedule count is spent drop from the frontier for good
+   (counted as n_template_blocked); live templates admit only their
+   remaining budget's best-priority URLs this round, the rest stay
+   queued.  Counts append to a tpl_counts log (O(batch) rows/round)
+   folded + broadcast at round start.
 2. per-host budget b = max(1, floor(round_seconds / crawl_delay)):
    rank per host by (score desc, depth asc, url asc), keep rank <= b.
 3. global batch: order by (score desc, depth asc, url asc), limit
@@ -89,6 +96,17 @@ class CrawlConfig:
     # 32 tiny files per table otherwise); None = natural partitioning
     # (production: let output committers handle file sizing)
     checkpoint_coalesce: int | None = 8
+    # per-(host, URL-template) crawl budget (crawler-trap rationing,
+    # crawl/traps.py).  None = off.  When set, a URL whose template
+    # has already been scheduled `template_budget` times across the
+    # crawl is dropped permanently (counted as n_template_blocked);
+    # within a round, only the remaining budget's best-priority URLs
+    # per template are eligible, the rest stay queued.  Scheduled
+    # counts append to a per-round `tpl_counts` log (O(batch) rows a
+    # round), folded and BROADCAST at round start -- the template
+    # table is bounded by site structure, never by page count.  Must
+    # be set from init_state on (the counts log starts at round 1).
+    template_budget: int | None = None
     # overlap the round's checkpoint writes (order/frontier/seen/
     # shards/lineage -> independent paths) with each other and with
     # the metrics job by submitting them as concurrent Spark jobs;
@@ -408,6 +426,52 @@ class CrawlEngine:
         cand = cand.withColumn("blocked", blocked_cond).persist()
         allowed = cand.where(~F.col("blocked"))
 
+        # 1b. per-template trap rationing (cfg.template_budget).  The
+        # folded counts table is template-sized (bounded by site
+        # structure) so it broadcasts; the admission rank windows on
+        # (host, template) -- one extra shuffle, budget mode only.
+        # Exhausted templates leave the frontier permanently (the trap
+        # never drains); rank-overflow URLs stay queued because budget
+        # is only consumed by ACTUAL schedules, which the batch limit
+        # may cut below the admitted set.
+        tpl_cache = None
+        if cfg.template_budget is not None:
+            from .traps import url_template
+
+            _, tpl_expr, _ = url_template(F.col("url"))
+            alw = allowed.withColumn("template", tpl_expr)
+            if self.store.has_log("tpl_counts", r - 1):
+                used = (
+                    self.store.read_log("tpl_counts", r - 1)
+                    .groupBy("host", "template")
+                    .agg(F.sum("n_scheduled").alias("__used"))
+                )
+                alw = alw.join(
+                    F.broadcast(used), ["host", "template"], "left"
+                )
+            else:
+                alw = alw.withColumn("__used", F.lit(None).cast("long"))
+            alw = alw.withColumn(
+                "tused", F.coalesce("__used", F.lit(0)).cast("long")
+            ).drop("__used").persist()
+            tpl_cache = alw
+            exhausted = alw.where(F.col("tused") >= cfg.template_budget)
+            live = alw.where(F.col("tused") < cfg.template_budget)
+            wt = Window.partitionBy("host", "template").orderBy(
+                F.desc("score"), F.asc("depth"), F.asc("url")
+            )
+            admitted = (
+                live.withColumn("trank", F.row_number().over(wt))
+                .where(F.col("trank") <= cfg.template_budget
+                       - F.col("tused"))
+                .drop("trank", "template", "tused")
+            )
+            carry_allowed = live.drop("template", "tused")
+        else:
+            exhausted = None
+            admitted = allowed
+            carry_allowed = allowed
+
         # 2. per-host politeness budget, two-phase against hot-host skew:
         # pre-rank within (host, url-salt) sub-partitions, keep the
         # per-salt top-budget (a superset of the per-host top-budget),
@@ -420,7 +484,7 @@ class CrawlEngine:
             F.desc("score"), F.asc("depth"), F.asc("url")
         )
         eligible = (
-            allowed.withColumn(
+            admitted.withColumn(
                 "salt",
                 F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_shards)),
             )
@@ -457,6 +521,20 @@ class CrawlEngine:
             "score",
         )
         _submit(order_df, "order")  # overlaps with fetch/harvest below
+
+        if cfg.template_budget is not None:
+            # append this round's per-template schedule counts
+            # (<= batch_size rows): the budget is consumed by actual
+            # schedules only, so next round's fold sees exact usage
+            from .traps import url_template as _ut
+
+            _, tpl_expr_s, _ = _ut(F.col("url"))
+            inc = (
+                scheduled.withColumn("template", tpl_expr_s)
+                .groupBy("host", "template")
+                .agg(F.count("*").cast("long").alias("n_scheduled"))
+            )
+            _submit(inc, "tpl_counts")
 
         # 4.-5. fetch + harvest + canonicalize (one fused Python pass)
         from ..operators.extract import harvest_canonical_links
@@ -528,7 +606,7 @@ class CrawlEngine:
         # 7. next state (writes also populate the caches the metrics
         # job reads below)
         next_frontier = (
-            allowed.join(scheduled.select("url"), "url", "left_anti")
+            carry_allowed.join(scheduled.select("url"), "url", "left_anti")
             .select("url", "host", "depth", "score")
             .unionByName(new_urls)
         )
@@ -640,6 +718,10 @@ class CrawlEngine:
             .unionByName(_c("bloom_new", probably_new))
             .unionByName(_c("new", new_urls))
         )
+        if exhausted is not None:
+            counts_df = counts_df.unionByName(
+                _c("tpl_blocked", exhausted)
+            )
         vals = {row["k"]: row["v"] for row in counts_df.collect()}  # bounded
 
         # join every in-flight checkpoint write BEFORE the manifest
@@ -670,6 +752,9 @@ class CrawlEngine:
                 vals["new"] - vals["bloom_new"]
                 if cfg.exact_backstop else None
             ),
+            # urls dropped for good because their template's budget is
+            # spent (None when template rationing is off)
+            "n_template_blocked": vals.get("tpl_blocked"),
             "wall_ms": int((time.time() - t0) * 1000),
         }
         with open(self._path(r, "metrics.json"), "w") as f:
@@ -686,6 +771,7 @@ class CrawlEngine:
             frontier_rows = (
                 metrics["n_candidates"]
                 - metrics["n_blocked"]
+                - (metrics["n_template_blocked"] or 0)
                 - metrics["n_scheduled"]
                 + metrics["n_new"]
             )
@@ -706,7 +792,7 @@ class CrawlEngine:
         )
 
         for df in (cand, scheduled, fetched, contrib, probably_new,
-                   new_urls, bloom_cache, resched_cache):
+                   new_urls, bloom_cache, resched_cache, tpl_cache):
             if df is not None:
                 df.unpersist()
         return metrics

@@ -14,6 +14,8 @@ from __future__ import annotations
 import math
 from urllib.parse import urlsplit
 
+from .traps import template_of
+
 DECAY = 0.85
 
 
@@ -47,6 +49,7 @@ def simulate(
     score_mode: str = "decay",
     pr_iters: int = 3,
     expire_events: list[list[str]] | None = None,
+    template_budget: int | None = None,
 ) -> tuple[list[tuple[int, int, str]], set[str]]:
     """-> (crawl order [(round, rank, url)], final seen set).
 
@@ -55,6 +58,12 @@ def simulate(
     mirrors CrawlConfig: "pagerank" re-scores the whole frontier at the
     end of each round from integer PageRank over the edges discovered
     so far.
+
+    ``template_budget`` mirrors CrawlConfig.template_budget: per
+    (host, url-template) lifetime schedule caps (crawl/traps.py
+    masking), exhausted templates dropping from the frontier for good
+    and within-round admission rationed to the remaining budget in
+    priority order.
 
     ``expire_events`` mirrors run-to-done -> ``engine.expire(victims)``
     -> ``engine.run(resume=True)`` cycles: each time the crawl drains,
@@ -88,6 +97,9 @@ def simulate(
             default=-1,
         )
         return dmax > amax
+
+    # per-(host, template) lifetime schedule counts (budget mode)
+    tpl_counts: dict[tuple[str, str], int] = {}
 
     # frontier: url -> (depth, score)
     frontier = {u: (d, s) for u, s, d in seeds}
@@ -131,9 +143,37 @@ def simulate(
             u: ds for u, ds in frontier.items() if not is_blocked(u)
         }
 
+        # 1b. per-template trap rationing (engine step 1b): exhausted
+        # templates leave the frontier for good; within a round only
+        # the remaining budget's best-priority urls per template are
+        # eligible, the rest stay queued (budget is consumed by actual
+        # schedules below, which the batch limit may cut)
+        if template_budget is not None:
+            by_tpl: dict[tuple[str, str], list[str]] = {}
+            for u in allowed:
+                by_tpl.setdefault(template_of(u), []).append(u)
+            admitted: set[str] = set()
+            exhausted: set[str] = set()
+            for key, urls in by_tpl.items():
+                rem = template_budget - tpl_counts.get(key, 0)
+                if rem <= 0:
+                    exhausted.update(urls)
+                    continue
+                urls.sort(key=lambda u: (-allowed[u][1], allowed[u][0], u))
+                admitted.update(urls[:rem])
+            carry_allowed = {
+                u: ds for u, ds in allowed.items() if u not in exhausted
+            }
+            sched_pool = {
+                u: ds for u, ds in allowed.items() if u in admitted
+            }
+        else:
+            carry_allowed = allowed
+            sched_pool = allowed
+
         # 2. per-host budget, priority (score desc, depth asc, url asc)
         by_host: dict[str, list[str]] = {}
-        for u in allowed:
+        for u in sched_pool:
             by_host.setdefault(host_of(u), []).append(u)
         eligible = []
         for host, urls in by_host.items():
@@ -158,6 +198,12 @@ def simulate(
             continue
         for rank, u in enumerate(scheduled, start=1):
             order.append((r, rank, u))
+        if template_budget is not None:
+            # budget is consumed by actual schedules only (engine's
+            # tpl_counts append)
+            for u in scheduled:
+                k = template_of(u)
+                tpl_counts[k] = tpl_counts.get(k, 0) + 1
         # recrawl path: a re-enqueued victim is scheduled while absent
         # from seen; crawling re-seens it (no-op for a plain crawl,
         # where scheduled is always a subset of seen)
@@ -182,7 +228,7 @@ def simulate(
         # 7. next state
         sched = set(scheduled)
         frontier = {
-            u: ds for u, ds in allowed.items() if u not in sched
+            u: ds for u, ds in carry_allowed.items() if u not in sched
         }
         if expired_mode:
             # mirror the engine's post-expiry groupBy(min depth,

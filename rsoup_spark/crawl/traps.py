@@ -29,11 +29,35 @@ oracle equality is unaffected.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TRAP_BUDGET = 50  # max admissible URLs crawled per (host, template)
 TRAP_MAX_DEPTH = 12  # path segments beyond this are a trap tell
+
+_TPL_HEX = re.compile(r"[0-9a-fA-F]{8,}")
+_TPL_NUM = re.compile(r"[0-9]+")
+_TPL_URL = re.compile(r"^https?://([^/#?]+)([^?#]*)")
+_TPL_QUERY = re.compile(r"\?([^#]*)")
+
+
+def template_of(url: str) -> tuple[str, str]:
+    """Pure-Python mirror of ``url_template`` (same regexes, same
+    masking order, same sorted-query-name collapse) for the oracle
+    simulator and driver-side tests.  Any drift between this and the
+    JVM expressions breaks crawl-order oracle equality in
+    template-budget mode, which is exactly what the equality tests are
+    for."""
+    m = _TPL_URL.match(url)
+    host = m.group(1) if m else ""
+    path = m.group(2) if m else ""
+    qm = _TPL_QUERY.search(url)
+    query = qm.group(1) if qm else ""
+    tpl = _TPL_NUM.sub("N", _TPL_HEX.sub("H", path))
+    qnames = sorted(p.split("=")[0] for p in query.split("&") if p)
+    return host, (tpl + "?" + "&".join(qnames)) if qnames else tpl
 
 
 def _segments(path: Column) -> Column:
