@@ -665,6 +665,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5, verify="jaccard")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (ops/dedup.py:
+    minhash_lsh_incremental): even doc_ids are the historical corpus
+    (pre-signed index, never re-shingled), odd doc_ids the new crawl
+    increment.  With verify='jaccard' the output must equal brute-force
+    Jaccard restricted to batch-side pairs -- so the gate checks
+    RECALL of the incremental banding, not just candidate scoring."""
+    from rsoup_spark.ops.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    index_sig = minhash_signatures(index_docs)
+    return minhash_lsh_incremental(
+        new_docs, index_sig, corpus_docs=docs,
+        ngram=3, num_hashes=64, bands=16, threshold=0.5,
+        verify="jaccard",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
@@ -2348,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "crawl_traps": q_crawl_traps,
         "semdedup": q_semdedup,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2629,6 +2653,13 @@ HAVING count(*) > 1
 """,
         "dedup_jaccard": _JACCARD_SQL_CAPPED,
         "dedup_minhash_lsh": _JACCARD_SQL_EXACT,
+        # the incremental run must find every true batch-side pair the
+        # batch brute force finds (id_b in the odd-id increment; id_a
+        # either historical or earlier in the batch)
+        "dedup_incremental": (
+            "SELECT id_a, id_b, jaccard FROM (" + _JACCARD_SQL_EXACT
+            + ") WHERE id_b % 2 = 1"
+        ),
         # brute-force all-pairs ground truth: green means the LSH
         # default found EVERY pair with cos >= tau (recall check), not
         # merely that its re-rank scored candidates correctly

@@ -107,6 +107,7 @@ def main() -> None:
         "quality_classifier",
         "crawl_traps",
         "semdedup",
+        "dedup_incremental",
     ]
 
     timings: dict[str, float] = {}

@@ -241,6 +241,27 @@ def _capped_bucket_pairs(
     return pairs
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, extra: list | None = None
+) -> DataFrame:
+    """Explode a signature table into (doc_id, band, key [, extra])
+    LSH bucket rows: key = xxhash64 of the band's signature slice."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(chunk.cast("string")).alias("key"),
+            )
+        )
+    return sig.select(
+        "doc_id", *(extra or []),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("doc_id", *(extra or []), "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -272,21 +293,9 @@ def minhash_lsh_pairs(
     star instead of all pairs -- see ``_capped_bucket_pairs``.  The
     1000 default mirrors ``jaccard_pairs``' df cap; None disables.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
     sig = sig.persist()
-
-    band_cols = []
-    for b in range(bands):
-        chunk = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"), F.xxhash64(chunk.cast("string")).alias("key")
-            )
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    buckets = _band_buckets(sig, num_hashes, bands)
 
     cand = _capped_bucket_pairs(
         buckets, ["band", "key"], max_bucket_size
@@ -311,6 +320,133 @@ def minhash_lsh_pairs(
 
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(num_hashes),
+                6,
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_sig: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: str = "signature",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against a persisted signature index (plus itself) -- the form a
+    per-crawl dedup actually runs at 100 TB, where re-self-joining all
+    of history every increment is the scale failure.
+
+    ``index_sig`` is a (doc_id, sig) table from ``minhash_signatures``
+    over the historical corpus (checkpointed once, appended per crawl);
+    only the batch is shingled and hashed here.  Doc ids must be
+    monotone across crawls (history < batch -- what crawl-round or
+    ``densify_ids`` assignment gives): pairs are emitted as
+    (id_a, id_b) with id_a < id_b and id_b ALWAYS in the new batch, so
+    history-history pairs (already found by previous increments) are
+    never generated -- the bucket join is new-side x bucket, not a
+    bucket self-join.
+
+    Hot buckets are star-capped exactly like ``minhash_lsh_pairs``
+    (min-id representative, new members only -- over-cap buckets are
+    near-cliques, so the star keeps every new member attached to the
+    duplicate set at O(bucket) candidates).
+
+    verify="signature": sim = matching-minhash fraction from the two
+    signatures (index docs never re-read).  verify="jaccard": the few
+    candidates re-check exact shingle Jaccard against ``corpus_docs``
+    (history + batch raw text -- O(candidates) point lookups, the
+    standard verify-side pattern), making the output oracle-equal to
+    brute-force Jaccard restricted to batch-side pairs.
+    """
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, ngram, num_hashes
+    ).persist()
+    all_sig = index_sig.select(
+        "doc_id", "sig", F.lit(False).alias("is_new")
+    ).unionByName(
+        sig_new.select("doc_id", "sig", F.lit(True).alias("is_new"))
+    )
+    buckets = _band_buckets(all_sig, num_hashes, bands, extra=["is_new"])
+
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        sized = buckets.withColumn(
+            "__bsz", F.count("*").over(w)
+        ).withColumn("__rep", F.min("doc_id").over(w))
+        ok = sized.where(F.col("__bsz") <= max_bucket_size).drop(
+            "__bsz", "__rep"
+        )
+        star = (
+            sized.where(F.col("__bsz") > max_bucket_size)
+            .where(F.col("is_new") & (F.col("doc_id") != F.col("__rep")))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+            )
+        )
+    else:
+        ok, star = buckets, None
+    pairs = (
+        ok.alias("a")
+        .join(ok.where("is_new").alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    cand = pairs.distinct()
+
+    if verify == "jaccard":
+        if corpus_docs is None:
+            raise ValueError("verify='jaccard' needs corpus_docs")
+        sh = corpus_docs.select(
+            F.col(id_col).alias("doc_id"),
+            _shingles(F.col(text_col), ngram).alias("sh"),
+        )
+        ja = sh.select(F.col("doc_id").alias("id_a"),
+                       F.col("sh").alias("sh_a"))
+        jb = sh.select(F.col("doc_id").alias("id_b"),
+                       F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cand.join(ja, "id_a")
+            .join(jb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    sa = all_sig.select(F.col("doc_id").alias("id_a"),
+                        F.col("sig").alias("sig_a"))
+    sb = sig_new.select(F.col("doc_id").alias("id_b"),
+                        F.col("sig").alias("sig_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
