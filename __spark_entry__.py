@@ -1499,6 +1499,46 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(urls)
 
 
+# corpus_clean fixture: class 0 survives everything and is canonical;
+# class 1 trips the C4 policy flag; class 2 passes C4 but fails the
+# Gopher word floor; class 3 differs from class 0 only by a line the
+# C4 filter strips, so post-cleaning it is an exact duplicate of
+# class 0 and loses the fingerprint race to doc 0
+_CLEAN_GOOD = "\n".join(
+    ["The quick brown fox jumps over the lazy dog and runs far away"
+     " today."] * 10
+)
+_CLEAN_CLASSES = [
+    _CLEAN_GOOD,
+    _CLEAN_GOOD + "\nLorem Ipsum appears in this line today.",
+    "\n".join(["Li ne one okay."] * 6),
+    "no terminal punct here\n" + _CLEAN_GOOD,
+]
+_CLEAN_SQL = [
+    "'" + s.replace("\n", "' || chr(10) || '") + "'" for s in _CLEAN_CLASSES
+]
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning (ops/textstats.py:corpus_clean):
+    C4 line filter -> Gopher rules on the CLEANED text -> exact dedup
+    of the cleaned text.  Class 3 proves the ordering matters: it
+    differs from class 0 only by a boilerplate line C4 strips, so it
+    deduplicates against class 0 post-cleaning (raw-text dedup would
+    miss it).  The oracle re-derives all three stages in SQL."""
+    from rsoup_spark.ops.textstats import corpus_clean
+
+    cls = F.col("doc_id") % 4
+    text = F.when(cls == 0, F.lit(_CLEAN_CLASSES[0]))
+    for c in range(1, 3):
+        text = text.when(cls == c, F.lit(_CLEAN_CLASSES[c]))
+    text = text.otherwise(F.lit(_CLEAN_CLASSES[3]))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return corpus_clean(docs)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ops/similarity.py:semdedup) over the embeddings table
     plus planted near-duplicates: every tenth vector re-enters at
@@ -2372,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": q_crawl_traps,
         "semdedup": q_semdedup,
         "dedup_incremental": q_dedup_incremental,
+        "pipeline_corpus_clean": q_corpus_clean,
     }
 
 
@@ -3291,6 +3332,93 @@ SELECT host, template,
   (count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END)
    > 50) AS over_budget
 FROM t GROUP BY 1, 2
+""",
+        # the full cleaning pipeline replayed in SQL: C4 line filter,
+        # Gopher counts/flags over the CLEANED text, fingerprint dedup
+        "pipeline_corpus_clean": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN {_CLEAN_SQL[0]}
+      WHEN 1 THEN {_CLEAN_SQL[1]}
+      WHEN 2 THEN {_CLEAN_SQL[2]}
+      ELSE {_CLEAN_SQL[3]}
+    END AS text
+  FROM documents
+), lns AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               l -> trim(l)), l -> l <> '') AS lines
+  FROM d
+), c4 AS (
+  SELECT doc_id,
+    coalesce(array_to_string(
+      list_filter(lines, l ->
+        (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                            x -> x <> '')) >= 3), chr(10)), '')
+      AS clean,
+    (CAST(coalesce(list_aggregate(
+       list_transform(
+         list_filter(lines, l ->
+           (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               x -> x <> '')) >= 3),
+         l -> len(regexp_extract_all(l, '[.!?"]+'))), 'sum'), 0)
+       AS BIGINT) >= 5
+     AND NOT (contains(lower(text), 'lorem ipsum')
+              OR contains(lower(text), 'javascript must be enabled'))
+     AND NOT (contains(lower(text), '{{')
+              OR contains(lower(text), '}}'))) AS keep_c4
+  FROM lns
+), gt AS (
+  SELECT doc_id, clean, keep_c4,
+    list_filter(regexp_split_to_array(trim(clean), '\\s+'),
+                x -> x <> '') AS toks,
+    list_filter(list_transform(string_split(clean, chr(10)),
+                               l -> trim(l)), l -> l <> '') AS glines
+  FROM c4
+), g AS (
+  SELECT doc_id, clean, keep_c4,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    ((CAST(len(toks) AS BIGINT) >= 50
+      AND CAST(len(toks) AS BIGINT) <= 100000)
+     AND (CAST(coalesce(list_aggregate(
+            list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT)
+            >= 3 * len(toks)
+          AND CAST(coalesce(list_aggregate(
+            list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT)
+            <= 10 * len(toks))
+     AND (CAST(length(clean) - length(replace(clean, '#', ''))
+               AS BIGINT) * 10 <= len(toks)
+          AND CAST((length(clean) - length(replace(clean, '...', '')))
+                   / 3 + length(clean) - length(replace(clean, '…', ''))
+               AS BIGINT) * 10 <= len(toks))
+     AND (CAST(len(list_filter(glines,
+            l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+            AS BIGINT) * 10 <= 9 * len(glines)
+          AND CAST(len(list_filter(glines,
+            l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) * 10
+            <= 3 * len(glines))
+     AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) * 10 >= 8 * len(toks))
+     AND (CAST(len(list_filter(
+            ['the','be','to','of','and','that','have','with'],
+            w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+            AS BIGINT) >= 2)) AS keep_gopher
+  FROM gt
+), r AS (
+  SELECT doc_id,
+    (row_number() OVER (
+       PARTITION BY md5(trim(regexp_replace(clean, '\\s+', ' ', 'g')))
+       ORDER BY doc_id) = 1) AS is_canonical
+  FROM g WHERE keep_c4 AND keep_gopher
+)
+SELECT g.doc_id, g.n_words, g.keep_c4, g.keep_gopher,
+       coalesce(r.is_canonical, false) AS is_canonical,
+       (g.keep_c4 AND g.keep_gopher
+        AND coalesce(r.is_canonical, false)) AS keep
+FROM g LEFT JOIN r ON g.doc_id = r.doc_id
 """,
         # SemDeDup replayed in SQL: planted scaled copies, centroid
         # pick, cell argmax, capped-anchor join, 6dp-rounded threshold

@@ -108,6 +108,7 @@ def main() -> None:
         "crawl_traps",
         "semdedup",
         "dedup_incremental",
+        "pipeline_corpus_clean",
     ]
 
     timings: dict[str, float] = {}

@@ -578,6 +578,7 @@ def gopher_rules(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021, appendix A1.1) as
     per-document boolean flags plus the underlying counts -- the
@@ -659,6 +660,7 @@ def gopher_rules(
     r_stopwords = n_stop >= 2
     return docs.select(
         F.col(id_col),
+        *[F.col(p) for p in passthrough],
         n.alias("n_words"),
         n_lines.alias("n_lines"),
         sum_len.alias("sum_word_len"),
@@ -856,4 +858,68 @@ def quality_classifier(
         F.size(feats).cast("long").alias("n_features"),
         score.alias("score"),
         (score >= threshold).alias("keep"),
+    )
+
+
+def corpus_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard corpus-cleaning pass end-to-end, as ONE dataflow:
+    C4 line cleaning (Raffel et al. 2020 section 2.2) -> Gopher document
+    rules over the CLEANED text (Rae et al. 2021 A1.1) -> exact dedup of
+    the cleaned text (min-id canonical per fingerprint, survivors of
+    the two filters only).
+
+    Running Gopher after C4 and fingerprinting the *cleaned* text is
+    the order that matters in production: boilerplate lines a page adds
+    around shared content would otherwise defeat exact dedup and skew
+    the document statistics.
+
+    Returns every input doc with its fate:
+    (doc_id, n_words, keep_c4, keep_gopher, is_canonical, keep) --
+    n_words counted on the cleaned text, is_canonical false for any
+    doc that failed a filter or lost its fingerprint group.
+
+    Scale shape: the two filter passes are stacked projections on one
+    scan (no join -- ``gopher_rules`` carries the C4 outputs through
+    via ``passthrough``).  Dedup adds one fingerprint-keyed window over
+    only the surviving docs and one id-keyed left join back; both
+    exchanges carry (id, flags), never text.
+    """
+    c4 = c4_filters(docs, id_col, text_col).select(
+        F.col(id_col),
+        "clean_text",
+        F.col("keep").alias("keep_c4"),
+    )
+    gop = gopher_rules(
+        c4, id_col=id_col, text_col="clean_text",
+        passthrough=("keep_c4", "clean_text"),
+    ).select(
+        F.col(id_col),
+        "n_words",
+        "keep_c4",
+        F.col("keep").alias("keep_gopher"),
+        doc_fingerprint(F.col("clean_text")).alias("__fp"),
+    )
+    passed = gop.where(F.col("keep_c4") & F.col("keep_gopher"))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    canon = (
+        passed.withColumn("__rn", F.row_number().over(w))
+        .select(F.col(id_col), (F.col("__rn") == 1).alias("is_canonical"))
+    )
+    return (
+        gop.join(canon, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "keep_c4",
+            "keep_gopher",
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+            (
+                F.col("keep_c4") & F.col("keep_gopher")
+                & F.coalesce("is_canonical", F.lit(False))
+            ).alias("keep"),
+        )
     )

@@ -594,3 +594,31 @@ class TestC4Filters:
                 got["e"]["n_sentences"]) == (0, 0, 0)
         assert got["e"]["clean_text"] == ""
         assert got["e"]["keep"] is False
+
+
+@pytest.mark.spark
+def test_corpus_clean_dedups_after_cleaning(spark):
+    """The composite's stage order is the point: a doc differing from
+    another only by a boilerplate line the C4 filter strips must
+    deduplicate against it POST-cleaning (raw-text dedup would keep
+    both)."""
+    from rsoup_spark.ops.textstats import corpus_clean
+
+    good = "\n".join(
+        ["The quick brown fox jumps over the lazy dog and runs far"
+         " away today."] * 10
+    )
+    rows = [
+        (0, good),
+        (1, "no terminal punct boilerplate\n" + good),  # dup post-clean
+        (2, good + "\nLorem Ipsum appears in this line today."),  # C4
+        (3, "\n".join(["Li ne one okay."] * 6)),  # gopher word floor
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in corpus_clean(df).collect()}
+    assert got[0]["keep"] and got[0]["is_canonical"]
+    assert got[1]["keep_c4"] and got[1]["keep_gopher"]
+    assert not got[1]["is_canonical"] and not got[1]["keep"]
+    assert not got[2]["keep_c4"] and not got[2]["keep"]
+    assert got[3]["keep_c4"] and not got[3]["keep_gopher"]
+    assert got[0]["n_words"] == got[1]["n_words"] == 140
