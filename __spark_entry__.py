@@ -1499,6 +1499,32 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(urls)
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus filtering (crawl/traps.py:url_filter) over five
+    synthesized URL classes: clean (0), blocked domain (1), subdomain
+    of a blocked domain (2), strict+soft word score over threshold (3),
+    single soft word under threshold (4).  The oracle replays the
+    blocklist predicates and the integer word score in SQL."""
+    from rsoup_spark.crawl.traps import url_filter
+
+    d = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 5
+    url = (
+        F.when(cls == 0, F.concat(F.lit("https://ok.example/a/"), d))
+        .when(cls == 1, F.concat(F.lit("https://badsite.example/x/"), d))
+        .when(cls == 2, F.concat(F.lit("https://m.spam.example/y/"), d))
+        .when(
+            cls == 3,
+            F.concat(F.lit("https://n.example/casino/betting/"), d),
+        )
+        .otherwise(
+            F.concat(F.lit("https://p.example/download/file"), d)
+        )
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    return url_filter(urls)
+
+
 # corpus_clean fixture: class 0 survives everything and is canonical;
 # class 1 trips the C4 policy flag; class 2 passes C4 but fails the
 # Gopher word floor; class 3 differs from class 0 only by a line the
@@ -2413,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dedup_incremental": q_dedup_incremental,
         "pipeline_corpus_clean": q_corpus_clean,
+        "url_filter": q_url_filter,
     }
 
 
@@ -3332,6 +3359,42 @@ SELECT host, template,
   (count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END)
    > 50) AS over_budget
 FROM t GROUP BY 1, 2
+""",
+        # blocklist predicates + integer word score replayed in SQL
+        "url_filter": """
+WITH u AS (
+  SELECT CASE CAST(doc_id % 5 AS INTEGER)
+    WHEN 0 THEN 'https://ok.example/a/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'https://badsite.example/x/' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'https://m.spam.example/y/' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://n.example/casino/betting/'
+                || CAST(doc_id AS VARCHAR)
+    ELSE 'https://p.example/download/file' || CAST(doc_id AS VARCHAR)
+  END AS url
+  FROM documents
+), p AS (
+  SELECT url,
+    regexp_extract(url, '^https?://([^/#?]+)', 1) AS host,
+    lower(url) AS low
+  FROM u
+), s AS (
+  SELECT url, host,
+    (host = 'badsite.example' OR host LIKE '%.badsite.example'
+     OR host = 'spam.example' OR host LIKE '%.spam.example')
+      AS blocked_domain,
+    CAST(
+      (CASE WHEN contains(low, 'casino') THEN 4 ELSE 0 END)
+      + (CASE WHEN contains(low, 'poker') THEN 4 ELSE 0 END)
+      + (CASE WHEN contains(low, 'warez') THEN 4 ELSE 0 END)
+      + (CASE WHEN contains(low, 'pills') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(low, 'betting') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(low, 'download') THEN 1 ELSE 0 END)
+      AS BIGINT) AS url_score
+  FROM p
+)
+SELECT url, host, blocked_domain, url_score,
+       (NOT blocked_domain AND url_score < 5) AS keep
+FROM s
 """,
         # the full cleaning pipeline replayed in SQL: C4 line filter,
         # Gopher counts/flags over the CLEANED text, fingerprint dedup

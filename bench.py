@@ -109,6 +109,7 @@ def main() -> None:
         "semdedup",
         "dedup_incremental",
         "pipeline_corpus_clean",
+        "url_filter",
     ]
 
     timings: dict[str, float] = {}

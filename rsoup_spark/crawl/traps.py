@@ -170,3 +170,59 @@ def url_templates(
             (F.col("n_admissible") > int(budget)).alias("over_budget"),
         )
     )
+
+
+# Demonstration subsets of the standard URL-filter inputs (RefinedWeb,
+# Penedo et al. 2023, appendix G.1 describes the scheme: a domain
+# blocklist plus a weighted flagged-word score over the URL string).
+# Production swaps in the full public lists (e.g. UT1) -- the operator
+# takes them as arguments; nothing here is a shipped blocklist.
+URL_BLOCKLIST = ("badsite.example", "spam.example")
+# (word, weight) in quarter units: strict words 4 (presence alone
+# rejects at the default threshold with one more soft hit), soft words
+# 1 -- integer weights so the score replays exactly in SQL
+URL_FLAG_WORDS = (
+    ("casino", 4), ("poker", 4), ("warez", 4),
+    ("pills", 1), ("betting", 1), ("download", 1),
+)
+URL_SCORE_THRESHOLD = 5  # reject at >= 5 quarters
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: tuple = URL_BLOCKLIST,
+    flag_words: tuple = URL_FLAG_WORDS,
+    threshold: int = URL_SCORE_THRESHOLD,
+) -> DataFrame:
+    """URL-level corpus filtering -- the FIRST gate of a web pipeline
+    (cheaper than fetching, parsing, or scoring content): domain
+    blocklist (exact host or any subdomain of a listed domain) plus an
+    integer flagged-word score over the lowercased URL string
+    (presence per word, weighted; reject at >= ``threshold``).
+
+    Map-only JVM expressions: the lists arrive as literal predicates
+    (bounded -- production lists are ~4M domains, at which point the
+    blocklist becomes a broadcast join on host instead; the word score
+    stays literal either way).  Returns every row with
+    (host, blocked_domain, url_score, keep).
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^https?://([^/#?]+)", 1)
+    low = F.lower(url)
+    blocked = F.lit(False)
+    for d in blocklist:
+        blocked = blocked | (host == d) | host.endswith("." + d)
+    score = F.lit(0)
+    for w, wt in flag_words:
+        score = score + F.when(low.contains(w), F.lit(int(wt))).otherwise(
+            F.lit(0)
+        )
+    score = score.cast("long")
+    return df.select(
+        url.alias("url"),
+        host.alias("host"),
+        blocked.alias("blocked_domain"),
+        score.alias("url_score"),
+        (~blocked & (score < threshold)).alias("keep"),
+    )

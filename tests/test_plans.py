@@ -223,3 +223,29 @@ def test_densify_ids_two_level_rank(spark):
     # the heavy rank window is partitioned; no windowspec runs
     # directly over the raw id column
     assert "windowspecdefinition(__id," not in plan
+
+
+@pytest.mark.spark
+def test_quality_classifier_map_only_single_split(spark):
+    """The hashed classifier must stay map-only (no shuffle beyond the
+    test-data spread repartition) and tokenize each row exactly once
+    (the staged-projection contract in its docstring)."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    p = plan_text(e.queries()["quality_classifier"](spark, SF_SMALL))
+    assert p.count("split(lower") == 1, "text must be split exactly once"
+    # the only exchange is load_table's round-robin spread of the tiny
+    # test file; no aggregation/join shuffle may appear
+    assert "hashpartitioning" not in p
+
+
+@pytest.mark.spark
+def test_crawl_traps_no_multi_distinct_expand(spark):
+    """Template admission counts distinct urls by deduping first; the
+    multi-distinct Expand (a 4x map-side row blowup) must not appear."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import plan_text
+
+    p = plan_text(e.queries()["crawl_traps"](spark, SF_SMALL))
+    assert "Expand" not in p

@@ -96,3 +96,27 @@ def test_quality_classifier_matches_python_replay(spark):
         assert got[doc_id]["n_features"] == n, doc_id
         assert got[doc_id]["score"] == score, doc_id
         assert got[doc_id]["keep"] == (score >= 0), doc_id
+
+
+@pytest.mark.spark
+def test_url_filter_edges(spark):
+    from rsoup_spark.crawl.traps import url_filter
+
+    urls = [
+        "https://notspam.example/fine",        # suffix, NOT a subdomain
+        "https://spam.example/x",              # exact blocked host
+        "https://a.b.spam.example/x",          # deep subdomain
+        "https://ok.example/CASINO/night",     # case-insensitive word
+        "https://ok.example/pills",            # single soft word: keep
+        "https://ok.example/pills/betting/download",  # 3 soft: keep (3<5)
+        "https://ok.example/poker/pills",      # 4+1 = 5: reject
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = {r["url"]: r.asDict() for r in url_filter(df).collect()}
+    assert got[urls[0]]["keep"] and not got[urls[0]]["blocked_domain"]
+    assert got[urls[1]]["blocked_domain"] and not got[urls[1]]["keep"]
+    assert got[urls[2]]["blocked_domain"]
+    assert got[urls[3]]["url_score"] == 4 and got[urls[3]]["keep"]
+    assert got[urls[4]]["url_score"] == 1 and got[urls[4]]["keep"]
+    assert got[urls[5]]["url_score"] == 3 and got[urls[5]]["keep"]
+    assert got[urls[6]]["url_score"] == 5 and not got[urls[6]]["keep"]
