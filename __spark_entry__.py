@@ -1499,6 +1499,40 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(urls)
 
 
+def q_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven recrawl scheduling (sources/cdx.py:
+    recrawl_candidates): doc_id % 3 picks the case -- captured after
+    lastmod (fresh, excluded), captured before lastmod (stale
+    candidate with exact day gap), never captured.  Every captured URL
+    also has an older capture so the max-per-url pre-aggregation is
+    exercised.  The oracle replays the join, the strict comparison,
+    and the day arithmetic in SQL."""
+    from rsoup_spark.sources.cdx import recrawl_candidates
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s.test/p"), d.cast("string"))
+    # midnight-aligned timestamps, not DATEs: a DATE column round-trips
+    # through pandas as datetime.date on the Spark side but Timestamp
+    # on the DuckDB side, which the driver's value hash tells apart
+    lastmod = F.date_add(
+        F.to_date(F.lit("2026-01-01")), (d % 28).cast("int")
+    ).cast("timestamp")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    entries = docs.select(url.alias("url"), lastmod.alias("lastmod"))
+    cls = d % 3
+    cap_date = (
+        F.when(cls == 0, F.date_add(lastmod, 1))
+        .when(cls == 1, F.date_add(lastmod, -3))
+    ).cast("timestamp")
+    primary = docs.where(cls != 2).select(
+        url.alias("url"), cap_date.alias("ts")
+    )
+    older = primary.select(
+        "url", F.date_add("ts", -10).cast("timestamp").alias("ts")
+    )
+    return recrawl_candidates(entries, primary.unionByName(older))
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level corpus filtering (crawl/traps.py:url_filter) over five
     synthesized URL classes: clean (0), blocked domain (1), subdomain
@@ -2440,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "pipeline_corpus_clean": q_corpus_clean,
         "url_filter": q_url_filter,
+        "recrawl_candidates": q_recrawl_candidates,
     }
 
 
@@ -3359,6 +3394,37 @@ SELECT host, template,
   (count(DISTINCT CASE WHEN NOT is_loop AND NOT is_deep THEN url END)
    > 50) AS over_budget
 FROM t GROUP BY 1, 2
+""",
+        # join + strict lastmod comparison + day arithmetic in SQL
+        "recrawl_candidates": """
+WITH e AS (
+  SELECT 'https://s.test/p' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(DATE '2026-01-01' + CAST(doc_id % 28 AS INTEGER)
+              AS TIMESTAMP) AS lastmod,
+         CAST(doc_id % 3 AS INTEGER) AS cls
+  FROM documents
+), caps AS (
+  SELECT url,
+         CASE WHEN cls = 0 THEN lastmod + INTERVAL 1 DAY
+              ELSE lastmod - INTERVAL 3 DAY END AS ts
+  FROM e WHERE cls <> 2
+  UNION ALL
+  SELECT url,
+         CASE WHEN cls = 0 THEN lastmod + INTERVAL 1 DAY
+              ELSE lastmod - INTERVAL 3 DAY END - INTERVAL 10 DAY
+  FROM e WHERE cls <> 2
+), last AS (
+  SELECT url, max(ts) AS last_capture FROM caps GROUP BY url
+)
+SELECT e.url, e.lastmod, l.last_capture,
+       CASE WHEN l.last_capture IS NULL THEN 'never'
+            ELSE 'stale' END AS reason,
+       CASE WHEN l.last_capture IS NOT NULL
+                 AND e.lastmod > l.last_capture
+            THEN CAST(date_diff('day', l.last_capture, e.lastmod)
+                      AS INTEGER) END AS days_stale
+FROM e LEFT JOIN last l ON e.url = l.url
+WHERE l.last_capture IS NULL OR e.lastmod > l.last_capture
 """,
         # blocklist predicates + integer word score replayed in SQL
         "url_filter": """

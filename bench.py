@@ -110,6 +110,7 @@ def main() -> None:
         "dedup_incremental",
         "pipeline_corpus_clean",
         "url_filter",
+        "recrawl_candidates",
     ]
 
     timings: dict[str, float] = {}

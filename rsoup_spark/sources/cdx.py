@@ -162,3 +162,52 @@ def cdx_revisits(index: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def recrawl_candidates(
+    entries: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sitemap-driven recrawl scheduling: join declared freshness
+    (sitemap ``lastmod``) against observed coverage (capture history)
+    and emit the URLs worth fetching again -- the standard way an
+    archive-aware crawler spends its politeness budget on pages that
+    actually changed instead of blind TTLs.
+
+    A URL is a candidate iff it was never captured, or its declared
+    ``lastmod`` is strictly later than its latest capture.  Output:
+    (url, lastmod, last_capture, reason 'never'|'stale',
+    days_stale = lastmod - last_capture in days, NULL for 'never').
+    Feed the result to ``CrawlEngine.expire(..., reenqueue=True)`` --
+    staleness makes a natural re-enqueue score.
+
+    Scale shape: the capture history collapses to one row per URL with
+    a map-side-combined max BEFORE the join, so the join carries
+    |sitemap| + |distinct urls| rows, never the capture log; both
+    sides key on url (co-partitioned exchange, broadcastable when the
+    sitemap side is one site's).
+    """
+    last = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(ts_col).alias("last_capture")
+    )
+    j = entries.select(
+        F.col(url_col).alias("url"), F.col(lastmod_col).alias("lastmod")
+    ).join(last, "url", "left")
+    never = F.col("last_capture").isNull()
+    stale = ~never & (F.col("lastmod") > F.col("last_capture"))
+    return (
+        j.where(never | stale)
+        .select(
+            "url",
+            "lastmod",
+            "last_capture",
+            F.when(never, F.lit("never")).otherwise(F.lit("stale"))
+            .alias("reason"),
+            F.when(
+                stale, F.datediff(F.col("lastmod"), F.col("last_capture"))
+            ).cast("int").alias("days_stale"),
+        )
+    )

@@ -280,3 +280,28 @@ class TestCdxRevisits:
         # null digests start fresh runs and never flag (and the flag
         # is a real False, not a null leaked by `null == x`)
         assert got[2] == (False, 2) and got[3] == (False, 3)
+
+
+@pytest.mark.spark
+def test_recrawl_candidates_max_capture_and_boundary(spark):
+    """The latest capture (not any capture) decides staleness, and an
+    equal lastmod/capture timestamp is NOT stale (strict >)."""
+    from rsoup_spark.sources.cdx import recrawl_candidates
+
+    entries = spark.createDataFrame(
+        [("u1", "2026-01-10"), ("u2", "2026-01-10"), ("u3", "2026-01-10")],
+        "url STRING, lastmod STRING",
+    ).selectExpr("url", "CAST(lastmod AS TIMESTAMP) AS lastmod")
+    caps = spark.createDataFrame(
+        [
+            ("u1", "2026-01-02"), ("u1", "2026-01-12"),  # latest wins
+            ("u2", "2026-01-10"),                        # equal: fresh
+        ],
+        "url STRING, ts STRING",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {r["url"]: r.asDict()
+           for r in recrawl_candidates(entries, caps).collect()}
+    assert "u1" not in got            # latest capture is after lastmod
+    assert "u2" not in got            # equal timestamp is not stale
+    assert got["u3"]["reason"] == "never"
+    assert got["u3"]["days_stale"] is None
