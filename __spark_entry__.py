@@ -2387,6 +2387,80 @@ def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_agg(e, max_anchors=2)
 
 
+def q_url_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/canonical alias-chain resolution (ops/graph.py:
+    resolve_aliases): pointer doubling with a fetcher-style hop cap.
+    Deterministic synthetic redirect graph over doc ids: d %% 8 != 0
+    redirects u(d) -> u(d-1) (descending chains of length d %% 8 into
+    multiples-of-8 sinks); every d %% 32 == 0 sink gets a back edge
+    u(d) -> u(d+2), turning that sink into a 3-cycle so the chains
+    feeding it loop forever.  With max_hops=5: chain lengths 1-5
+    resolve 'ok' with exact hop counts, lengths 6-7 reach a terminal
+    past the cap ('capped'), and every cycle-feeding chain is
+    'capped' -- all three classes oracled against a recursive-CTE
+    walk."""
+    from rsoup_spark.ops.graph import resolve_aliases
+
+    d = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("https://r.test/p"), c.cast("string"))  # noqa: E731
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.where(d % 8 != 0).select(
+        u(d).alias("src"), u(d - 1).alias("dst")
+    )
+    cyc = docs.where(d % 32 == 0).select(
+        u(d).alias("src"), u(d + 2).alias("dst")
+    )
+    return resolve_aliases(chain.unionByName(cyc), max_hops=5)
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup (crawl/traps.py:domain_rollup):
+    public-suffix extraction (longest listed suffix wins, unknown TLD
+    falls back to the last label, host == suffix groups as
+    suffix-only) feeding per-domain URL + distinct-host counts.  Six
+    synthesized URL classes exercise 1/2/3-label suffixes, the
+    fallback rule, and the suffix-only branch; the oracle replays the
+    generic split/longest-match/concat logic in SQL, not the class
+    shortcuts."""
+    from rsoup_spark.crawl.traps import domain_rollup
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    cls = d % 6
+    k = F.expr("doc_id DIV 6")  # independent of cls, so moduli vary
+    url = (
+        F.when(cls == 0, F.concat(F.lit("https://a"), s(k % 7),
+                                  F.lit(".example.com/x")))
+        .when(cls == 1, F.concat(F.lit("https://www.site"), s(k % 5),
+                                 F.lit(".co.uk/y")))
+        .when(cls == 2, F.concat(F.lit("https://deep.x.blog"), s(k % 3),
+                                 F.lit(".github.io/z")))
+        .when(cls == 3, F.lit("https://co.uk/"))
+        .when(cls == 4, F.concat(F.lit("https://foo"), s(k % 2),
+                                 F.lit(".custom.zz/q")))
+        .otherwise(F.concat(F.lit("https://cdn"), s(k % 4),
+                            F.lit(".s3.amazonaws.com/w")))
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    return domain_rollup(urls)
+
+
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (ops/textstats.py:lm_surprise): the
+    CCNet-style perplexity filter as integer bits-of-surprise --
+    floor(-log2 p) via integer division + bin-length, zero floats, so
+    the SQL oracle replays the whole model bit-for-bit.  Trained on
+    the src0-src4 slice, scoring every document."""
+    from rsoup_spark.ops.textstats import lm_surprise
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_surprise(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        threshold_millibits=4470,  # corpus median: both branches live
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -2475,6 +2549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_clean": q_corpus_clean,
         "url_filter": q_url_filter,
         "recrawl_candidates": q_recrawl_candidates,
+        "url_aliases": q_url_aliases,
+        "domain_rollup": q_domain_rollup,
+        "lm_surprise": q_lm_surprise,
     }
 
 
@@ -4113,4 +4190,143 @@ FROM d GROUP BY host
     # the composite crawl-to-spans pipeline must land exactly where the
     # direct extraction gate lands: same pages, same span restatement
     out["pipeline_warc_extract"] = out["ext_spans"]
+    # alias-chain resolution: recursive-CTE walk (hop cap mirrors the
+    # engine's pointer-doubling classification exactly -- resolved and
+    # hops surface only for terminals reached within max_hops)
+    out["url_aliases"] = """
+WITH RECURSIVE e0 AS (
+  SELECT 'https://r.test/p' || CAST(doc_id AS VARCHAR) AS src,
+         'https://r.test/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT 'https://r.test/p' || CAST(doc_id AS VARCHAR),
+         'https://r.test/p' || CAST(doc_id + 2 AS VARCHAR)
+  FROM documents WHERE doc_id % 32 = 0
+), m AS (
+  SELECT src, min(dst) AS dst FROM e0 GROUP BY src
+), walk AS (
+  SELECT src AS start, dst AS cur, CAST(1 AS BIGINT) AS hops FROM m
+  UNION ALL
+  SELECT w.start, m.dst, w.hops + 1
+  FROM walk w JOIN m ON w.cur = m.src
+  WHERE w.hops < 9
+), last AS (
+  SELECT start, cur, hops,
+         row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+  FROM walk
+), cls AS (
+  SELECT l.start, l.cur, l.hops,
+         (m2.src IS NULL AND l.hops <= 5) AS ok
+  FROM last l LEFT JOIN m m2 ON l.cur = m2.src
+  WHERE l.rn = 1
+)
+SELECT start AS src,
+       CASE WHEN ok THEN cur END AS resolved,
+       CASE WHEN ok THEN hops END AS hops,
+       CASE WHEN ok THEN 'ok' ELSE 'capped' END AS status
+FROM cls
+"""
+    # registrable-domain rollup: generic split / longest-suffix-match /
+    # concat replayed in SQL (never the fixture's class shortcuts)
+    out["domain_rollup"] = """
+WITH u AS (
+  SELECT CASE CAST(doc_id % 6 AS INTEGER)
+    WHEN 0 THEN 'https://a' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                || '.example.com/x'
+    WHEN 1 THEN 'https://www.site' || CAST((doc_id // 6) % 5 AS VARCHAR)
+                || '.co.uk/y'
+    WHEN 2 THEN 'https://deep.x.blog' || CAST((doc_id // 6) % 3 AS VARCHAR)
+                || '.github.io/z'
+    WHEN 3 THEN 'https://co.uk/'
+    WHEN 4 THEN 'https://foo' || CAST((doc_id // 6) % 2 AS VARCHAR)
+                || '.custom.zz/q'
+    ELSE 'https://cdn' || CAST((doc_id // 6) % 4 AS VARCHAR)
+         || '.s3.amazonaws.com/w'
+  END AS url
+  FROM documents
+), ph AS (
+  SELECT lower(regexp_extract(url, '^https?://([^/#?]+)', 1)) AS host,
+         count(*) AS n_urls
+  FROM u GROUP BY 1
+), lab AS (
+  SELECT host, n_urls, string_split(host, '.') AS l FROM ph
+), sfx AS (
+  SELECT host, n_urls, l,
+    CASE
+      WHEN len(l) >= 3
+           AND array_to_string(l[-3:], '.') IN ('s3.amazonaws.com')
+        THEN array_to_string(l[-3:], '.')
+      WHEN len(l) >= 2
+           AND array_to_string(l[-2:], '.') IN
+               ('co.uk','ac.uk','org.uk','gov.uk','com.au','net.au',
+                'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                'co.in','github.io','blogspot.com')
+        THEN array_to_string(l[-2:], '.')
+      ELSE l[-1]
+    END AS suffix
+  FROM lab
+), reg AS (
+  SELECT host, n_urls, suffix,
+    CASE WHEN len(l) > len(string_split(suffix, '.'))
+         THEN l[-(len(string_split(suffix, '.')) + 1)] || '.' || suffix
+    END AS registrable
+  FROM sfx
+)
+SELECT coalesce(registrable, suffix) AS domain,
+       registrable IS NULL AS is_suffix_only,
+       suffix,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM reg
+GROUP BY 1, 2, 3
+"""
+    # bigram-LM bits-of-surprise: the whole model is integer division
+    # + bin-length, so the oracle replays it exactly (train slice,
+    # add-one smoothing, per-doc reaggregation, threshold)
+    out["lm_surprise"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i + 1])) AS w2
+  FROM t
+), tr AS (
+  SELECT * FROM bg
+  WHERE source IN ('src0','src1','src2','src3','src4')
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM tr GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS v FROM (
+    SELECT w1 AS w FROM tr UNION ALL SELECT w2 FROM tr
+  )
+), sc AS (
+  SELECT bg.doc_id,
+         length(bin((coalesce(c1.c1, 0) + v.v)
+                    // (coalesce(c2.c2, 0) + 1))) - 1 AS bits
+  FROM bg
+  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+  LEFT JOIN c1 ON bg.w1 = c1.w1
+  CROSS JOIN v
+), pd AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS total_bits
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       pd.total_bits,
+       1000 * pd.total_bits // pd.n_bigrams AS millibits_per_bigram,
+       coalesce(1000 * pd.total_bits // pd.n_bigrams <= 4470, false)
+         AS keep
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
     return out

@@ -111,6 +111,9 @@ def main() -> None:
         "pipeline_corpus_clean",
         "url_filter",
         "recrawl_candidates",
+        "url_aliases",
+        "domain_rollup",
+        "lm_surprise",
     ]
 
     timings: dict[str, float] = {}

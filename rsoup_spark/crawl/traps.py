@@ -226,3 +226,104 @@ def url_filter(
         score.alias("url_score"),
         (~blocked & (score < threshold)).alias("keep"),
     )
+
+
+# a deterministic embedded subset of the Mozilla Public Suffix List
+# (publicsuffix.org) -- the operator takes any list; production swaps
+# the full ~9k-rule PSL in as a broadcast (suffix -> labels) join the
+# same way url_filter's blocklist scales past literal predicates.
+PUBLIC_SUFFIXES = (
+    # 1-label
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "dev",
+    "app", "uk", "de", "fr", "jp", "au", "br", "cn", "in", "us",
+    # 2-label
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "com.au", "net.au",
+    "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
+    "co.in", "github.io", "blogspot.com",
+    # 3-label
+    "s3.amazonaws.com",
+)
+
+
+def registrable_domain(
+    host: Column,
+    suffixes: tuple = PUBLIC_SUFFIXES,
+) -> Column:
+    """(suffix, registrable) struct for a host column under public-
+    suffix rules: the LONGEST (most labels) listed suffix matching the
+    host's tail wins; an unlisted TLD falls back to the PSL's default
+    ``*`` rule (last label is the suffix); registrable = suffix plus
+    one preceding label, NULL when the host IS a suffix (nothing to
+    register).  Pure JVM split/slice/isin expressions, map-only --
+    per-domain politeness budgets, trap budgets, and rollups all key
+    on this instead of raw host so ``a.example.com`` and
+    ``b.example.com`` share one budget while ``a.co.uk`` and
+    ``b.co.uk`` do not.
+    """
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # build the CASE innermost-first (ascending label count) so the
+    # outermost branch -- the longest listed suffix -- wins the match
+    suffix = None
+    for k in sorted(by_len):
+        cand = F.concat_ws(".", F.slice(labels, -k, k))
+        hit = (n >= k) & cand.isin(by_len[k])
+        suffix = F.when(hit, cand) if suffix is None else F.when(
+            hit, cand
+        ).otherwise(suffix)
+    # PSL default rule: unknown TLD -> the last label is the suffix
+    suffix = F.coalesce(suffix, F.element_at(labels, -1))
+    slabels = F.size(F.split(suffix, r"\."))
+    reg = F.when(
+        n > slabels,
+        F.concat_ws(
+            ".",
+            F.element_at(labels, (-slabels - 1).cast("int")),
+            suffix,
+        ),
+    )
+    return F.struct(suffix.alias("suffix"), reg.alias("registrable"))
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: tuple = PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Per-registrable-domain crawl rollup: URL and distinct-host
+    counts keyed by the public-suffix registrable domain -- the table
+    per-domain politeness/budget decisions read.  One (host-level
+    pre-aggregated) shuffle: URLs collapse to (host, n_urls) with
+    map-side combine before the domain key exists, so a megahost
+    contributes one row to the domain shuffle, not one per URL.
+    Hosts whose registrable is NULL (host == suffix) group under the
+    suffix itself with is_suffix_only = true.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/#?]+)", 1))
+    per_host = df.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    rd = registrable_domain(F.col("host"), suffixes)
+    keyed = per_host.select(
+        "host",
+        "n_urls",
+        rd.getField("suffix").alias("suffix"),
+        rd.getField("registrable").alias("registrable"),
+    )
+    return (
+        keyed.select(
+            F.coalesce("registrable", "suffix").alias("domain"),
+            F.col("registrable").isNull().alias("is_suffix_only"),
+            "suffix",
+            "n_urls",
+        )
+        .groupBy("domain", "is_suffix_only", "suffix")
+        .agg(
+            F.sum("n_urls").alias("n_urls"),
+            F.count("*").cast("long").alias("n_hosts"),
+        )
+    )

@@ -155,3 +155,103 @@ def anchor_text_agg(
         "dst", "n_inlinks", "n_sources", "n_anchors", "top_anchor",
         "anchors",
     )
+
+
+def resolve_aliases(
+    edges: DataFrame,
+    max_hops: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Redirect / rel=canonical alias-chain resolution -- the crawl
+    step between link harvesting and dedup: every alias URL (HTTP 3xx
+    source, <link rel=canonical> page) is resolved to the terminal URL
+    its chain reaches, so the URL-seen set and the dedup keys operate
+    on canonical identities instead of counting each hop as a fresh
+    page.  From-scratch: rsoup follows single fetches only
+    (rsoup/src/lib.rs fetch_tables has no redirect-graph state); a
+    10^10-URL frontier needs chain resolution as a dataflow.
+
+    Semantics (the crawler contract, not transitive closure): each
+    src maps to ONE next URL (duplicate edges collapse to min(dst),
+    deterministically); chains are followed up to ``max_hops`` hops.
+    A chain that reaches a URL with no outgoing edge within the
+    budget resolves there (status 'ok'); one still mid-chain at the
+    cap -- a redirect loop or an over-long chain, exactly what real
+    fetchers abort with ERR_TOO_MANY_REDIRECTS -- yields resolved =
+    NULL, status 'capped'.  Hop counts are exact chain lengths.
+
+    Scale shape: pointer doubling, not per-hop walking -- round k
+    composes the (src -> node after <= 2^k hops, exact hops, done)
+    mapping with itself via one left equi-join on the current node,
+    so the shuffle count is ceil(log2(max_hops)) + 1, never
+    max_hops, and each join keys on the URL (AQE handles hub skew).
+    No driver state beyond the loop counter; mappings persist across
+    rounds like dedup_clusters' edge frontier.
+    """
+    m = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .persist()
+    )
+    # state: src -> (cur node after `hops` real hops, done = cur has
+    # no outgoing edge).  Initial state is the one-hop mapping.
+    state = m.select(
+        "src",
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    hop = m.select(
+        F.col("src").alias("cur"),
+        F.col("dst").alias("nxt"),
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        # advance pending chains by up to 2^k more hops: join the
+        # state to itself through the doubled mapping.  A miss on the
+        # join means cur is terminal (done); a hit past the cap stays
+        # pending and is classified after the loop.
+        nxt = state.select(
+            F.col("src").alias("cur"),
+            F.col("cur").alias("cur2"),
+            F.col("hops").alias("hops2"),
+        )
+        state = (
+            state.join(nxt, "cur", "left")
+            .select(
+                "src",
+                F.coalesce("cur2", "cur").alias("cur"),
+                (
+                    F.col("hops")
+                    + F.coalesce(F.col("hops2"), F.lit(0))
+                ).alias("hops"),
+            )
+            .persist()
+        )
+    # terminal iff cur has no outgoing edge AND the chain fit the cap
+    out = (
+        state.join(
+            hop.select(F.col("cur"), F.lit(True).alias("has_out")),
+            "cur",
+            "left",
+        )
+        .select(
+            "src",
+            F.when(
+                F.col("has_out").isNull() & (F.col("hops") <= max_hops),
+                F.col("cur"),
+            ).alias("resolved"),
+            F.when(
+                F.col("has_out").isNull() & (F.col("hops") <= max_hops),
+                F.col("hops"),
+            ).alias("hops"),
+            F.when(
+                F.col("has_out").isNull() & (F.col("hops") <= max_hops),
+                F.lit("ok"),
+            )
+            .otherwise(F.lit("capped"))
+            .alias("status"),
+        )
+    )
+    return out

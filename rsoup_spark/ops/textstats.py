@@ -923,3 +923,104 @@ def corpus_clean(
             ).alias("keep"),
         )
     )
+
+
+def lm_surprise(
+    docs: DataFrame,
+    train_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_millibits: int = 12_000,
+) -> DataFrame:
+    """Language-model fluency filtering -- the CCNet/DCLM pipeline
+    step the hashed classifier does not cover: score every document by
+    how surprising its word bigrams are under a bigram LM trained on a
+    trusted slice of the same corpus (CCNet trains KenLM on Wikipedia
+    and buckets Common Crawl by perplexity; Wenzek et al. 2020 §4.3).
+    From-scratch design, integer-exact by construction instead of
+    float log-probs:
+
+    per bigram (w1, w2), with add-one smoothing over vocabulary V,
+    the model probability is p = (C(w1 w2) + 1) / (C(w1) + V), and
+    the *bits of surprise* floor(-log2 p) equals
+    floor(log2((C(w1) + V) DIV (C(w1 w2) + 1))) -- exact because
+    floor(log2(floor(a/b))) == floor(log2(a/b)) for positive
+    integers, and floor(log2 q) is just length(bin(q)) - 1.  Both
+    engines evaluate the identical integer pipeline, so the oracle
+    matches bit-for-bit with no transcendental in sight; ranking
+    fidelity vs true -log2 is within 1 bit per bigram, which is noise
+    at corpus-filtering granularity (CCNet itself buckets into
+    head/middle/tail thirds).
+
+    Output per document: n_bigrams, total_bits, millibits_per_bigram
+    (1000 * total DIV n), keep = millibits <= ``threshold_millibits``.
+    Docs with no bigram (< 2 tokens) score NULL and keep = false.
+
+    Scale shape: the classic postings dataflow -- training counts are
+    two groupBys with map-side combine (bigram table ~ corpus-unique
+    bigrams, the same cardinality class as jaccard_pairs' shingle
+    postings); scoring explodes each doc's bigrams map-only, joins
+    the two count tables on their keys (AQE broadcasts them when the
+    trusted slice is small, shuffle-join at full scale), and
+    re-aggregates per doc.  No floats, no UDFs, no collects.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = docs.select(
+        F.col(id_col), train_filter.alias("__train"), toks.alias("__t")
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        "__train",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), "__train", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    train = bigrams.where(F.col("__train"))
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    c1 = train.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    vocab = train.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "length(bin((coalesce(c1, 0) + v) DIV (coalesce(c2, 0) + 1)))"
+                " - 1"
+            ).cast("long").alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").alias("total_bits"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "total_bits",
+            F.expr("1000 * total_bits DIV n_bigrams").alias(
+                "millibits_per_bigram"
+            ),
+            F.coalesce(
+                F.expr("1000 * total_bits DIV n_bigrams")
+                <= F.lit(threshold_millibits),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

@@ -249,3 +249,25 @@ def test_crawl_traps_no_multi_distinct_expand(spark):
 
     p = plan_text(e.queries()["crawl_traps"](spark, SF_SMALL))
     assert "Expand" not in p
+
+
+@pytest.mark.spark
+def test_resolve_aliases_logarithmic_joins(spark):
+    """Alias-chain resolution is pointer doubling: the plan for
+    max_hops=16 must carry ~log2(16) composition joins, never one join
+    per hop (16+).  Counted on the optimized plan's join nodes."""
+    import re
+
+    from rsoup_spark.ops.graph import resolve_aliases
+    from rsoup_spark.plans.review import plan_text
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(20)], "src STRING, dst STRING"
+    )
+    p = plan_text(resolve_aliases(edges, max_hops=16))
+    # the formatted detail section lists each operator once as
+    # "(N) <kind>Join"; count those, not every mention of "join"
+    joins = len(re.findall(r"^\s*\(\d+\)\s+\w*Join", p, re.MULTILINE))
+    # 4 doubling rounds + the terminal-classification join, with one
+    # node each; per-hop walking would show >= 16
+    assert 0 < joins <= 8, f"{joins} join nodes:\n{p}"
