@@ -2461,6 +2461,129 @@ def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleaved_span(kind, text, ref, off):
+    """Span struct literal in the BASELINE input_hint shape."""
+    return F.struct(
+        kind.alias("kind") if isinstance(kind, F.Column) else
+        F.lit(kind).alias("kind"),
+        (text if isinstance(text, F.Column) else F.lit(text)).alias("text"),
+        (ref if isinstance(ref, F.Column) else F.lit(ref)).alias(
+            "media_ref"
+        ),
+        (off if isinstance(off, F.Column) else F.lit(off))
+        .cast("int")
+        .alias("offset"),
+    )
+
+
+_CAPTION_T2 = ("gamma delta epsilon zeta eta theta iota kappa lambda "
+               "mu nu xi omicron")
+
+
+def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption harvesting over the interleaved span table
+    (ops/interleaved.py:media_captions): nearest non-empty text span
+    per img, ties preferring 'before'.  The fixture sweeps the img
+    across offsets 10..50 (before / after / exact-tie cases), plants
+    a heading and a whitespace-only text span that must NOT caption,
+    drops all text for d %% 7 == 0 docs (NULL-caption coverage), adds
+    a second img for d %% 3 == 0, and makes the far text long enough
+    to exercise the 64-char snippet cap.  The oracle replays the
+    distance/tie/truncation rule relationally."""
+    from rsoup_spark.ops.interleaved import media_captions
+
+    d = F.col("doc_id")
+    sp = _interleaved_span
+    has_text = d % 7 != 0
+    arr = F.array(
+        sp("h1", F.concat(F.lit("Doc "), d.cast("string")), "", F.lit(0)),
+        F.when(has_text, sp("text", "alpha beta", "", F.lit(10))),
+        F.when(d % 2 == 0, sp("text", "   ", "", F.lit(25))),
+        F.when(has_text, sp("text", _CAPTION_T2, "", F.lit(50))),
+        sp("img", "", F.concat(F.lit("/img/"), d.cast("string"),
+                               F.lit("a.png")),
+           (F.lit(10) + (d % 5) * 10)),
+        F.when(
+            d % 3 == 0,
+            sp("img", "", F.concat(F.lit("/img/"), d.cast("string"),
+                                   F.lit("b.png")), F.lit(60)),
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(arr, lambda x: x.isNotNull()).alias("spans"),
+    )
+    return media_captions(docs)
+
+
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-aware interleaved packing (ops/interleaved.py:
+    pack_interleaved): img spans cost 64 vision tokens, text-bearing
+    spans their whitespace token count; whole docs pack contiguously
+    at budget 256 via the pack_chunks two-level scan; d %% 53 == 0
+    docs carry a 300-token pad span and must flag packed=false with
+    NULL assignment.  The oracle replays cost accounting and the
+    global-cumsum packing rule."""
+    from rsoup_spark.ops.interleaved import pack_interleaved
+
+    d = F.col("doc_id")
+    sp = _interleaved_span
+    arr = F.array(
+        sp("h1", F.concat(F.lit("Doc "), d.cast("string")), "", F.lit(0)),
+        sp("text", F.col("text"), "", F.lit(8)),
+        F.when(
+            d % 3 == 0,
+            sp("img", "", F.concat(F.lit("/img/"), d.cast("string"),
+                                   F.lit(".png")), F.lit(500)),
+        ),
+        F.when(d % 5 == 0, sp("a", "fr", "/s", F.lit(600))),
+        F.when(
+            d % 53 == 0,
+            sp("text", F.expr("repeat('pad ', 300)"), "", F.lit(700)),
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(arr, lambda x: x.isNotNull()).alias("spans"),
+    )
+    return pack_interleaved(docs, budget_tokens=256, image_tokens=64)
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate revisit scheduling (sources/cdx.py:
+    revisit_schedule): 40 URLs x ~(n/40) captures, per-URL digest
+    change period 1..4 (u %% 4), never-changing digests for
+    u %% 5 == 0 (max-interval branch), capture spacing 1 or 2 days
+    (u %% 2) so span/interval day arithmetic is exercised.  Midnight-
+    aligned timestamps (the recrawl_candidates pandas round-trip
+    rule).  The oracle replays lag-change marking, integer interval
+    division, clamping, and the day add."""
+    from rsoup_spark.sources.cdx import revisit_schedule
+
+    u = F.col("doc_id") % 40
+    capnum = F.expr("doc_id DIV 40")
+    caps = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://rs.test/p"), u.cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(DAY, CAST((doc_id DIV 40) * "
+            "(1 + (doc_id % 40) % 2) AS INT), "
+            "TIMESTAMP '2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.when(u % 5 == 0, F.lit("const"))
+        .otherwise(
+            F.concat(
+                F.lit("g"),
+                F.expr(
+                    "CAST((doc_id DIV 40) DIV (1 + (doc_id % 40) % 4) "
+                    "AS STRING)"
+                ),
+            )
+        )
+        .alias("digest"),
+    )
+    return revisit_schedule(caps, min_days=1, max_days=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -2552,6 +2675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_aliases": q_url_aliases,
         "domain_rollup": q_domain_rollup,
         "lm_surprise": q_lm_surprise,
+        "media_captions": q_media_captions,
+        "pack_interleaved": q_pack_interleaved,
+        "revisit_schedule": q_revisit_schedule,
     }
 
 
@@ -4328,5 +4454,125 @@ SELECT d.doc_id,
        coalesce(1000 * pd.total_bits // pd.n_bigrams <= 4470, false)
          AS keep
 FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+    # caption harvesting: the nearest-text/tie/truncation rule stated
+    # relationally (imgs x texts, rank by distance/after/offset)
+    out["media_captions"] = """
+WITH imgs AS (
+  SELECT doc_id,
+         '/img/' || CAST(doc_id AS VARCHAR) || 'a.png' AS media_ref,
+         10 + (doc_id % 5) * 10 AS o
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         '/img/' || CAST(doc_id AS VARCHAR) || 'b.png', 60
+  FROM documents WHERE doc_id % 3 = 0
+), texts AS (
+  SELECT doc_id, 'alpha beta' AS txt, 10 AS toff
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id,
+         'gamma delta epsilon zeta eta theta iota kappa lambda '
+         || 'mu nu xi omicron', 50
+  FROM documents WHERE doc_id % 7 <> 0
+), pairs AS (
+  SELECT i.doc_id, i.media_ref, i.o, t.txt, t.toff,
+         CASE WHEN t.toff > i.o THEN 1 ELSE 0 END AS aft,
+         row_number() OVER (
+           PARTITION BY i.doc_id, i.media_ref, i.o
+           ORDER BY abs(t.toff - i.o),
+                    CASE WHEN t.toff > i.o THEN 1 ELSE 0 END,
+                    t.toff
+         ) AS rn
+  FROM imgs i LEFT JOIN texts t USING (doc_id)
+)
+SELECT doc_id, media_ref, o AS img_offset,
+       CASE WHEN toff IS NOT NULL THEN substr(txt, 1, 64) END
+         AS caption,
+       toff AS caption_offset,
+       CASE WHEN toff IS NULL THEN NULL
+            WHEN aft = 1 THEN 'after' ELSE 'before' END
+         AS caption_side
+FROM pairs WHERE rn = 1
+"""
+    # interleaved packing: span cost accounting + the documented
+    # global-cumsum equivalent of pack_chunks' two-level scan
+    out["pack_interleaved"] = """
+WITH wc AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS w
+  FROM documents
+), costs AS (
+  SELECT doc_id,
+         2 + w
+           + CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END
+           + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 53 = 0 THEN 300 ELSE 0 END AS doc_cost,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_images
+  FROM wc
+), fit AS (
+  SELECT doc_id, doc_cost, n_images,
+         coalesce(sum(doc_cost) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS bef
+  FROM costs WHERE doc_cost <= 256
+)
+SELECT doc_id,
+       CAST(doc_cost AS BIGINT) AS doc_cost,
+       CAST(n_images AS BIGINT) AS n_images,
+       CAST(doc_cost - 64 * n_images AS BIGINT) AS n_text_tokens,
+       CAST(bef // 256 AS BIGINT) AS pack_id,
+       CAST(bef % 256 AS INTEGER) AS pack_offset,
+       true AS packed
+FROM fit
+UNION ALL
+SELECT doc_id,
+       CAST(doc_cost AS BIGINT),
+       CAST(n_images AS BIGINT),
+       CAST(doc_cost - 64 * n_images AS BIGINT),
+       NULL, NULL, false
+FROM costs WHERE doc_cost > 256
+"""
+    # change-rate revisit scheduling: lag-change marking, integer
+    # interval division with clamp, midnight-aligned day add
+    out["revisit_schedule"] = """
+WITH caps AS (
+  SELECT 'http://rs.test/p' || CAST(doc_id % 40 AS VARCHAR) AS url,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + ((doc_id // 40) * (1 + (doc_id % 40) % 2))
+             * INTERVAL 1 DAY AS ts,
+         CASE WHEN (doc_id % 40) % 5 = 0 THEN 'const'
+              ELSE 'g' || CAST((doc_id // 40)
+                               // (1 + (doc_id % 40) % 4) AS VARCHAR)
+         END AS digest
+  FROM documents
+), m AS (
+  SELECT url, ts,
+         CASE WHEN digest <> lag(digest) OVER (
+                PARTITION BY url ORDER BY ts
+              ) THEN 1 ELSE 0 END AS chg
+  FROM caps
+), a AS (
+  SELECT url,
+         CAST(count(*) AS BIGINT) AS n_caps,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM m GROUP BY url
+), iv AS (
+  SELECT url, n_caps, n_changes,
+         CAST(date_diff('day', first_ts, last_ts) AS BIGINT)
+           AS span_days,
+         CAST(CASE WHEN n_changes = 0 THEN 64
+              ELSE greatest(1, least(64,
+                date_diff('day', first_ts, last_ts) // n_changes))
+         END AS BIGINT) AS interval_days,
+         last_ts
+  FROM a
+)
+SELECT url, n_caps, n_changes, span_days, interval_days,
+       last_ts + interval_days * INTERVAL 1 DAY AS next_fetch
+FROM iv
 """
     return out

@@ -114,6 +114,9 @@ def main() -> None:
         "url_aliases",
         "domain_rollup",
         "lm_surprise",
+        "media_captions",
+        "pack_interleaved",
+        "revisit_schedule",
     ]
 
     timings: dict[str, float] = {}

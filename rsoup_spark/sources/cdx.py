@@ -211,3 +211,82 @@ def recrawl_candidates(
             ).cast("int").alias("days_stale"),
         )
     )
+
+
+def revisit_schedule(
+    captures: DataFrame,
+    min_days: int = 1,
+    max_days: int = 64,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Change-rate-driven revisit scheduling (the Cho & Garcia-Molina
+    2003 freshness idea in its integer-exact form): estimate each
+    URL's change interval from its own capture history -- a change is
+    a capture whose digest differs from the previous capture's -- and
+    schedule the next fetch accordingly.  Where ``recrawl_candidates``
+    trusts DECLARED freshness (sitemap lastmod), this infers it from
+    OBSERVED behavior, so the two compose: declared when available,
+    inferred for the long tail that has no sitemap.
+
+    Per URL: n_caps, n_changes, span_days (first to last capture),
+    interval_days = max_days for never-changed URLs else
+    clamp(span_days DIV n_changes, min_days, max_days) -- integer
+    division, no float decay constants -- and next_fetch = last
+    capture + interval_days.
+
+    Scale shape: one window (url, ts) for the digest lag + one
+    groupBy(url) with map-side combine; both key on url so the
+    exchange is reused.  The output is one row per distinct URL --
+    frontier-priority-queue sized, not capture-log sized.
+    """
+    from pyspark.sql.window import Window
+
+    marked = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    ).withColumn(
+        "__chg",
+        (
+            F.col("digest")
+            != F.lag("digest").over(
+                Window.partitionBy("url").orderBy("ts")
+            )
+        ).cast("int"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_caps"),
+        F.coalesce(F.sum("__chg"), F.lit(0)).cast("long").alias(
+            "n_changes"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    span = F.datediff(F.col("last_ts"), F.col("first_ts")).cast("long")
+    interval = F.when(
+        F.col("n_changes") == 0, F.lit(int(max_days))
+    ).otherwise(
+        F.greatest(
+            F.lit(int(min_days)),
+            F.least(
+                F.lit(int(max_days)),
+                F.expr("datediff(last_ts, first_ts) DIV n_changes"),
+            ),
+        )
+    ).cast("long")
+    return (
+        agg.withColumn("span_days", span)
+        .withColumn("interval_days", interval)
+        .select(
+            "url",
+            "n_caps",
+            "n_changes",
+            "span_days",
+            "interval_days",
+            F.expr(
+                "timestampadd(DAY, CAST(interval_days AS INT), last_ts)"
+            ).alias("next_fetch"),
+        )
+    )

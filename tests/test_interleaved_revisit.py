@@ -1,0 +1,147 @@
+"""Edge cases for the interleaved span-table operators
+(ops/interleaved.py) and the change-rate revisit scheduler
+(sources/cdx.py:revisit_schedule) beyond what the gate fixtures reach.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsoup_spark.ops.interleaved import media_captions, pack_interleaved
+from rsoup_spark.sources.cdx import revisit_schedule
+
+SPAN_SCHEMA = (
+    "doc_id LONG, spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+    "media_ref: STRING, offset: INT>>"
+)
+
+
+def _caps(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = media_captions(df, **kw).collect()
+    return {(r["doc_id"], r["media_ref"]):
+            (r["caption"], r["caption_offset"], r["caption_side"])
+            for r in out}
+
+
+@pytest.mark.spark
+def test_caption_tie_prefers_before(spark):
+    got = _caps(spark, [
+        (1, [("text", "lead", "", 10), ("img", "", "i1", 30),
+             ("text", "trail", "", 50)]),
+    ])
+    assert got[(1, "i1")] == ("lead", 10, "before")
+
+
+@pytest.mark.spark
+def test_caption_skips_non_text_and_whitespace(spark):
+    got = _caps(spark, [
+        # heading, anchor, whitespace text, and another img all sit
+        # CLOSER than the real text span -- none may caption
+        (1, [("h1", "Heading", "", 29), ("a", "link", "/x", 31),
+             ("text", "  \t ", "", 30), ("img", "", "other", 28),
+             ("img", "", "i1", 30), ("text", "real caption", "", 90)]),
+    ])
+    assert got[(1, "i1")] == ("real caption", 90, "after")
+
+
+@pytest.mark.spark
+def test_caption_null_when_no_text(spark):
+    got = _caps(spark, [
+        (1, [("img", "", "i1", 5), ("h1", "only heading", "", 0)]),
+    ])
+    assert got[(1, "i1")] == (None, None, None)
+
+
+@pytest.mark.spark
+def test_caption_truncates_to_cap(spark):
+    long = "x" * 100
+    got = _caps(spark, [
+        (1, [("text", long, "", 0), ("img", "", "i1", 10)]),
+    ], max_caption_chars=16)
+    assert got[(1, "i1")] == ("x" * 16, 0, "before")
+
+
+@pytest.mark.spark
+def test_pack_interleaved_costs_and_overflow(spark):
+    rows = [
+        # 2 words + img(64) = 66 tokens
+        (1, [("text", "two words", "", 0), ("img", "", "i", 10)]),
+        # 3 words, no image
+        (2, [("h1", "a b c", "", 0)]),
+        # oversized: 200 words > budget 128
+        (3, [("text", " ".join(["w"] * 200), "", 0)]),
+        # empty spans: zero-cost doc still packs
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {r["doc_id"]: r.asDict()
+           for r in pack_interleaved(df, budget_tokens=128).collect()}
+    assert out[1]["doc_cost"] == 66 and out[1]["n_images"] == 1
+    assert out[1]["n_text_tokens"] == 2
+    assert out[2]["doc_cost"] == 3 and out[2]["n_images"] == 0
+    assert out[3]["packed"] is False and out[3]["pack_id"] is None
+    assert out[4]["doc_cost"] == 0 and out[4]["packed"] is True
+    # contiguous fill in doc-id order over the fitting docs:
+    # doc1 at 0, doc2 at 66, doc4 at 69 -- all in pack 0
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 66)
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 69)
+
+
+@pytest.mark.spark
+def test_pack_interleaved_budget_boundary(spark):
+    # two 64-cost docs fill pack 0 exactly; the third starts pack 1
+    rows = [(i, [("img", "", f"i{i}", 0)]) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_interleaved(df, budget_tokens=128).collect()}
+    assert out == {1: (0, 0), 2: (0, 64), 3: (1, 0)}
+
+
+def _sched(spark, rows, **kw):
+    df = spark.createDataFrame(
+        rows, "url STRING, ts TIMESTAMP, digest STRING"
+    )
+    return {r["url"]: r.asDict()
+            for r in revisit_schedule(df, **kw).collect()}
+
+
+@pytest.mark.spark
+def test_revisit_never_changed_gets_max_interval(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [("u", t0 + datetime.timedelta(days=k), "same")
+            for k in range(5)]
+    got = _sched(spark, rows, min_days=1, max_days=30)["u"]
+    assert got["n_changes"] == 0 and got["interval_days"] == 30
+    assert got["next_fetch"] == t0 + datetime.timedelta(days=4 + 30)
+
+
+@pytest.mark.spark
+def test_revisit_single_capture(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    got = _sched(spark, [("u", t0, "d0")], max_days=16)["u"]
+    assert got["n_caps"] == 1 and got["span_days"] == 0
+    assert got["interval_days"] == 16
+
+
+@pytest.mark.spark
+def test_revisit_interval_and_clamps(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    # 4 captures over 30 days, digest changes twice -> 30 DIV 2 = 15
+    rows = [("mid", t0 + datetime.timedelta(days=d), g)
+            for d, g in [(0, "a"), (10, "a"), (20, "b"), (30, "c")]]
+    # daily flapper: 3 changes over 3 days -> 1, clamped up to min 2
+    rows += [("fast", t0 + datetime.timedelta(days=d), f"g{d}")
+             for d in range(4)]
+    # one change over 300 days -> clamped down to max 64
+    rows += [("slow", t0, "a"), ("slow", t0 + datetime.timedelta(300), "b")]
+    got = _sched(spark, rows, min_days=2, max_days=64)
+    assert got["mid"]["n_changes"] == 2
+    assert got["mid"]["interval_days"] == 15
+    assert got["fast"]["interval_days"] == 2
+    assert got["slow"]["interval_days"] == 64
+    assert got["slow"]["next_fetch"] == (
+        t0 + datetime.timedelta(days=300 + 64)
+    )
