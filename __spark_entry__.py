@@ -2584,6 +2584,19 @@ def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_schedule(caps, min_days=1, max_days=64)
 
 
+def q_table_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown table linearization (operators/extract.py:
+    linearize_tables) over the extracted doc-meta tables: header row,
+    ``| --- |`` separator (row 0 is all-header in the fixture), value
+    row, and the whitespace token count that feeds packing.  The
+    oracle states the rendered text analytically from the documents
+    columns, the same way ext_tables states the cell matrix."""
+    from rsoup_spark.operators.extract import linearize_tables
+
+    docs = synth_html_docs(spark, sf_dir)
+    return linearize_tables(extract_tables(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -2678,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_captions": q_media_captions,
         "pack_interleaved": q_pack_interleaved,
         "revisit_schedule": q_revisit_schedule,
+        "table_linearize": q_table_linearize,
     }
 
 
@@ -4574,5 +4588,23 @@ WITH caps AS (
 SELECT url, n_caps, n_changes, span_days, interval_days,
        last_ts + interval_days * INTERVAL 1 DAY AS next_fetch
 FROM iv
+"""
+    # markdown linearization of the extracted doc-meta table, stated
+    # analytically (header row, --- separator, value row)
+    out["table_linearize"] = """
+WITH lin AS (
+  SELECT 'https://docs.test/' || source || '/' || doc_id
+           || '?table_no=0' AS table_id,
+         'https://docs.test/' || source || '/' || doc_id AS url,
+         2 AS n_rows, 2 AS n_cols,
+         '| lang | source |' || chr(10) || '| --- | --- |' || chr(10)
+           || '| ' || lang || ' | ' || source || ' |' AS linearized
+  FROM documents
+)
+SELECT table_id, url, n_rows, n_cols, linearized,
+       CAST(len(list_filter(
+         regexp_split_to_array(trim(linearized), '\\s+'),
+         x -> x <> '')) AS INTEGER) AS n_table_tokens
+FROM lin
 """
     return out

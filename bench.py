@@ -117,6 +117,7 @@ def main() -> None:
         "media_captions",
         "pack_interleaved",
         "revisit_schedule",
+        "table_linearize",
     ]
 
     timings: dict[str, float] = {}

@@ -347,3 +347,64 @@ def extract_text_v1(
             )
 
     return docs.select(id_c, html_c).mapInPandas(run, schema)
+
+
+def linearize_tables(tables: DataFrame) -> DataFrame:
+    """Render extracted tables as markdown-style training text -- the
+    bridge from rsoup's structured tables to an LLM corpus (table
+    linearization is how extraction output actually enters a
+    pretraining mix).  Consumes ``extract_tables`` output: one row per
+    table, cell texts pipe-joined per row, a ``| --- |`` separator
+    after the first row when that row is entirely header cells, rows
+    newline-joined.  Cell text is markdown-escaped (newlines -> space,
+    ``|`` -> ``\\|``) so the row/column structure survives any cell
+    content.
+
+    Pure JVM array/string expressions over the already-extracted
+    struct matrix -- map-only, rides codegen with whatever produced
+    the tables; no second parse, no Python.  Output: (table_id, url,
+    n_rows, n_cols, linearized, n_table_tokens) where n_table_tokens
+    is the whitespace token count of the linearized text (the packing
+    currency of chunk_documents / pack_interleaved).
+    """
+    cell_txt = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c["value"]["text"], r"\s*\n\s*", " "),
+        r"\|",
+        r"\\|",
+    )
+    row_line = lambda r: F.concat(  # noqa: E731
+        F.lit("| "),
+        F.concat_ws(" | ", F.transform(r["cells"], cell_txt)),
+        F.lit(" |"),
+    )
+    lines = F.transform(F.col("rows"), row_line)
+    header = F.when(
+        (F.size("rows") > 0)
+        & F.forall(
+            F.col("rows").getItem(0)["cells"], lambda c: c["is_header"]
+        ),
+        F.concat(
+            F.lit("|"),
+            F.repeat(F.lit(" --- |"), F.col("n_cols").cast("int")),
+        ),
+    )
+    body = F.when(
+        header.isNotNull() & (F.size("rows") > 1),
+        F.concat(
+            F.element_at(lines, 1),
+            F.lit("\n"),
+            header,
+            F.lit("\n"),
+            F.array_join(F.slice(lines, 2, F.size(lines) - 1), "\n"),
+        ),
+    ).otherwise(F.array_join(lines, "\n"))
+    return tables.select(
+        F.col("id").alias("table_id"),
+        "url",
+        "n_rows",
+        "n_cols",
+        body.alias("linearized"),
+        F.size(
+            F.filter(F.split(F.trim(body), r"\s+"), lambda t: t != "")
+        ).alias("n_table_tokens"),
+    )

@@ -145,3 +145,35 @@ def test_revisit_interval_and_clamps(spark):
     assert got["slow"]["next_fetch"] == (
         t0 + datetime.timedelta(days=300 + 64)
     )
+
+
+@pytest.mark.spark
+def test_linearize_tables_escaping_and_headers(spark):
+    """linearize_tables (operators/extract.py): markdown escaping for
+    pipes and in-cell newlines, separator only under an all-header
+    first row, single-row tables."""
+    from rsoup_spark.operators.extract import (
+        extract_tables,
+        linearize_tables,
+    )
+
+    rows = [
+        # all-header first row -> separator; pipe + <br> in the value
+        ("u1", "<table><tbody><tr><th>h1</th><th>h2</th></tr>"
+               "<tr><td>a|b</td><td>line1<br>line2</td></tr>"
+               "</tbody></table>"),
+        # mixed first row -> NO separator
+        ("u2", "<table><tbody><tr><th>h</th><td>v</td></tr>"
+               "</tbody></table>"),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, html STRING")
+    out = {r["url"]: r.asDict()
+           for r in linearize_tables(extract_tables(df)).collect()}
+    u1 = out["u1"]["linearized"]
+    assert u1.splitlines() == [
+        "| h1 | h2 |",
+        "| --- | --- |",
+        "| a\\|b | line1 line2 |",
+    ]
+    assert out["u1"]["n_table_tokens"] == len(u1.split())
+    assert out["u2"]["linearized"] == "| h | v |"
