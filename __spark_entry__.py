@@ -2597,6 +2597,24 @@ def q_table_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linearize_tables(extract_tables(docs))
 
 
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (ops/sampling.py:mix_sources):
+    target ppm weights over four sources at a 3000-token budget --
+    src0's target exceeds its available tokens (keep-all cap branch),
+    src1-src3 sample at descending rates, every other source drops.
+    Integer thresholds on md5 buckets, so the oracle replays the
+    whole mixture bit-for-bit."""
+    from rsoup_spark.ops.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(
+        docs,
+        weights_ppm={"src0": 500_000, "src1": 300_000,
+                     "src2": 150_000, "src3": 50_000},
+        budget_tokens=3000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ext_spans": q_ext_spans,
@@ -2692,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "revisit_schedule": q_revisit_schedule,
         "table_linearize": q_table_linearize,
+        "mix_sources": q_mix_sources,
     }
 
 
@@ -4606,5 +4625,33 @@ SELECT table_id, url, n_rows, n_cols, linearized,
          regexp_split_to_array(trim(linearized), '\\s+'),
          x -> x <> '')) AS INTEGER) AS n_table_tokens
 FROM lin
+"""
+    # token-budget mixture: per-source totals -> integer thresholds
+    # (cap at granularity) -> md5-bucket keep, replayed exactly
+    out["mix_sources"] = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(
+           regexp_split_to_array(trim(text), '\\s+'),
+           x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), avail AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail
+  FROM tok GROUP BY source
+), thr AS (
+  SELECT source, avail,
+    CAST(CASE WHEN avail > 0 THEN least(10000,
+      ((3000 * (CASE source WHEN 'src0' THEN 500000
+                            WHEN 'src1' THEN 300000
+                            WHEN 'src2' THEN 150000
+                            WHEN 'src3' THEN 50000
+                            ELSE 0 END)) // 1000000) * 10000 // avail)
+      ELSE 0 END AS BIGINT) AS thr
+  FROM avail
+)
+SELECT t.doc_id, t.source, t.n_tokens, h.thr
+FROM tok t JOIN thr h USING (source)
+WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       % 10000) < h.thr
 """
     return out

@@ -118,6 +118,7 @@ def main() -> None:
         "pack_interleaved",
         "revisit_schedule",
         "table_linearize",
+        "mix_sources",
     ]
 
     timings: dict[str, float] = {}

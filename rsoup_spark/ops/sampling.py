@@ -53,3 +53,72 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(rate * granularity)))
         ).otherwise(thr)
     return df.where(sample_bucket(F.col(id_col), granularity) < thr)
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Token-budget corpus mixing -- the data-mixture step between
+    cleaning and packing: given target mixture weights per source (in
+    ppm, the module's integer-exact currency) and a total token
+    budget, down-sample each source so the kept corpus approximates
+    the target mixture.  Per source s:
+
+        desired_s = budget * weight_ppm(s) DIV 1e6
+        thr_s     = min(granularity, desired_s * granularity DIV avail_s)
+
+    and a doc survives iff ``bucket(id) < thr_s`` -- the same
+    md5-bucket hash-bernoulli contract as ``stratified_sample``, so
+    the kept set is reproducible across runs, partitionings, and
+    engines.  A source whose available tokens fall short of its
+    target keeps everything (thr caps at granularity -- mixtures are
+    aspirations, not fabrications); unlisted sources weight 0 and
+    drop.  Kept tokens approximate rate x avail with per-doc variance
+    (hash-bernoulli samples documents, not tokens) -- the standard
+    trade; token-exact mixing would need a global sort.
+
+    Scale shape: one map-side-combined groupBy for per-source token
+    totals (rows = |sources|, tiny), thresholds broadcast-join back,
+    the keep filter is a pure JVM expression.  No collects.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    ).cast("long")
+    base = docs.withColumn("__n_tokens", toks)
+    avail = base.groupBy(strata_col).agg(
+        F.sum("__n_tokens").alias("__avail")
+    )
+    w: Column = F.lit(0)
+    for value, ppm in sorted(weights_ppm.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(int(ppm))).otherwise(w)
+    thr = F.when(
+        F.col("__avail") > 0,
+        F.least(
+            F.lit(int(granularity)).cast("long"),
+            F.expr(
+                f"((CAST({int(budget_tokens)} AS BIGINT) * __w) "
+                f"DIV 1000000) * {int(granularity)} DIV __avail"
+            ),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    thresholds = avail.withColumn("__w", w.cast("long")).withColumn(
+        "__thr", thr
+    )
+    return (
+        base.join(F.broadcast(thresholds), strata_col)
+        .where(sample_bucket(F.col(id_col), granularity) < F.col("__thr"))
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col("__n_tokens").alias("n_tokens"),
+            F.col("__thr").alias("thr"),
+        )
+    )

@@ -177,3 +177,40 @@ def test_linearize_tables_escaping_and_headers(spark):
     ]
     assert out["u1"]["n_table_tokens"] == len(u1.split())
     assert out["u2"]["linearized"] == "| h | v |"
+
+
+@pytest.mark.spark
+def test_mix_sources_caps_drops_and_determinism(spark):
+    """mix_sources (ops/sampling.py): cap branch keeps everything
+    when the target exceeds availability, unlisted sources drop,
+    zero-token sources are guarded, and the kept set is invariant
+    under repartitioning."""
+    from rsoup_spark.ops.sampling import mix_sources
+
+    rows = (
+        [(i, "a", "w " * 10) for i in range(10)]        # 100 tokens
+        + [(100 + i, "b", "w " * 10) for i in range(10)]  # 100 tokens
+        + [(200 + i, "c", "w " * 10) for i in range(10)]  # unlisted
+        + [(300, "empty", "")]                            # avail 0
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    kw = dict(
+        weights_ppm={"a": 900_000, "b": 100_000, "empty": 100_000},
+        budget_tokens=200,
+    )
+    out = mix_sources(df, **kw).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # a: desired 180 > avail 100 -> cap, keep all 10
+    assert len(by_src["a"]) == 10 and by_src["a"][0]["thr"] == 10_000
+    # b: desired 20 of 100 -> thr 2000, keeps a strict subset
+    assert 0 < len(by_src.get("b", [])) < 10
+    assert by_src["b"][0]["thr"] == 2000
+    # c unlisted and the zero-token source never appear
+    assert "c" not in by_src and "empty" not in by_src
+    # determinism: identical kept ids after an adversarial repartition
+    again = mix_sources(df.repartition(13), **kw).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )

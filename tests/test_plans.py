@@ -271,3 +271,18 @@ def test_resolve_aliases_logarithmic_joins(spark):
     # 4 doubling rounds + the terminal-classification join, with one
     # node each; per-hop walking would show >= 16
     assert 0 < joins <= 8, f"{joins} join nodes:\n{p}"
+
+
+@pytest.mark.spark
+def test_mix_sources_broadcasts_thresholds(spark):
+    """The per-source threshold table (rows = |sources|) is broadcast
+    back by construction -- the corpus never shuffles on the source
+    key -- and the keep filter is pure JVM (no Python stage)."""
+    import __spark_entry__ as e
+    from rsoup_spark.plans.review import has_sort_merge_join, plan_text
+
+    df = e.queries()["mix_sources"](spark, SF_SMALL)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_sort_merge_join(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
