@@ -96,8 +96,16 @@ def _spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ext_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1-O7 + input_hint spans: full interleaved span sequence per doc."""
-    return _spans_flat(spark, sf_dir).orderBy("doc_id", "pos")
+    """O1-O7 + input_hint spans: full interleaved span sequence per doc.
+
+    Round-6: the trailing global ORDER BY was presentation-only -- the
+    (doc_id, pos) keys fully determine the row set, and the driver's
+    correctness hash is order-insensitive (rows sorted before hashing,
+    see tools/check_oracle.py value_hash) -- so it only bought a range
+    exchange + full sort of every span (guide §2.4 "an orderBy used
+    only to make output deterministic").  Dropped; row multiset
+    unchanged."""
+    return _spans_flat(spark, sf_dir)
 
 
 def q_ext_spans_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,12 +381,39 @@ def q_stream_host_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graft op: RFC3986 canonicalization of harvested hrefs."""
-    links = q_ext_links(spark, sf_dir)
-    return links.select(
-        "src_url",
-        "href",
-        _canon_udf(F.col("href"), F.col("src_url")).alias("canon_url"),
+    """Graft op: RFC3986 canonicalization of harvested hrefs.
+
+    Round-6: fused into ONE mapInPandas crossing (parse -> anchor
+    filter -> canonicalize), the ``harvest_canonical_links`` pattern --
+    the former mapInPandas -> JVM explode -> pandas_udf chain ran two
+    Python worker pools per task with batch-synchronous JVM round
+    trips (guide §4.1: control how many times data crosses the
+    boundary).  Same rows: the loop replays links_from_spans' filter
+    (kind == 'a', media_ref != '') and ``_canon_udf``'s
+    ``canonicalize_url(href, src) or ''``."""
+    docs = synth_html_docs(spark, sf_dir)
+
+    def run(batches):
+        from rsoup_spark.functions.urlnorm import canonicalize_url
+        from rsoup_spark.operators.extract import spans_from_html
+
+        for pdf in batches:
+            srcs, hrefs, canons = [], [], []
+            for src, html in zip(pdf["url"], pdf["html"]):
+                src = str(src)
+                for span in spans_from_html(src, str(html)):
+                    if span["kind"] == "a" and span["media_ref"]:
+                        srcs.append(src)
+                        hrefs.append(span["media_ref"])
+                        canons.append(
+                            canonicalize_url(span["media_ref"], src) or ""
+                        )
+            yield pd.DataFrame(
+                {"src_url": srcs, "href": hrefs, "canon_url": canons}
+            )
+
+    return docs.select("url", "html").mapInPandas(
+        run, "src_url STRING, href STRING, canon_url STRING"
     )
 
 

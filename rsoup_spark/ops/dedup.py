@@ -109,7 +109,10 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         # df cap: stop-shingles are both a quality signal (they carry no
         # dedup evidence) and THE skew bomb in the self-join below --
-        # a shingle in f docs contributes f^2 join rows on one key
+        # a shingle in f docs contributes f^2 join rows on one key.
+        # Computed in its own subtree with map-side partial combine so a
+        # planet-wide shingle is ONE reducer row and its postings are
+        # dropped map-side, before any shuffle of the posting stream.
         hot = (
             posting.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -118,6 +121,15 @@ def jaccard_pairs(
         )
         posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
 
+    # NB the self-join's b side is duplicated by the planner's
+    # broadcast conversion at bench scale (4 scans in the sf0.1 plan);
+    # an explicit repartition("shingle") deduplicating the sides into
+    # one exchange was tried in round 6 and measured NEUTRAL-to-worse
+    # locally (the shuffle + SMJ sorts cost more than the duplicated
+    # map-side scan/explode, which is cheap).  At cluster scale the
+    # sides exceed the broadcast threshold and both shuffle to ONE
+    # reused exchange automatically (canonically identical subtrees),
+    # so no explicit repartition is needed there either.
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
@@ -158,6 +170,16 @@ def minhash_signatures(
     One xxhash64 per shingle (JVM-side), then ``num_hashes`` cheap
     re-mixes h_i = splitmix-style mix(shingle_hash XOR seed_i), min per
     i -- aggregate over the exploded postings, fully codegen, no Python.
+
+    (A round-6 experiment replaced the explode + 64-min groupBy with a
+    map-only nested higher-order-function formulation -- array_min
+    over per-permutation transform -- to remove the shuffle.  It was
+    3-5x SLOWER despite the saved exchange: nested HOFs fall out of
+    whole-stage codegen into the interpreted evaluator with per-row
+    array allocation and boxing, while the 64-aggregate hash aggregate
+    is primitive codegen end-to-end.  Kept the explode form; guide
+    §1.1's "the ideal plan is usually slower at first because of some
+    gotcha" in the flesh.)
     """
     posting = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -294,7 +316,11 @@ def minhash_lsh_pairs(
     1000 default mirrors ``jaccard_pairs``' df cap; None disables.
     """
     sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
-    sig = sig.persist()
+    if verify != "jaccard":
+        # signature verify reads sig three times (buckets + both join
+        # sides); jaccard verify reads it once, so persisting would
+        # only add memory-store traffic
+        sig = sig.persist()
     buckets = _band_buckets(sig, num_hashes, bands)
 
     cand = _capped_bucket_pairs(
@@ -383,7 +409,9 @@ def minhash_lsh_incremental(
     """
     sig_new = minhash_signatures(
         new_docs, id_col, text_col, ngram, num_hashes
-    ).persist()
+    )
+    if verify != "jaccard":
+        sig_new = sig_new.persist()
     all_sig = index_sig.select(
         "doc_id", "sig", F.lit(False).alias("is_new")
     ).unionByName(
@@ -481,35 +509,48 @@ def simhash64(
     xxhash64: md5 exists in every engine, so the whole construction --
     including the final hamming check -- is expressible in ANSI SQL and
     the gate query gets an exact DuckDB oracle.  60 bits keep the same
-    near-dup behaviour as 64 (hamming thresholds are <= 4)."""
-    posting = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select(
+    near-dup behaviour as 64 (hamming thresholds are <= 4).
+
+    MAP-ONLY (guide §2.4): per-bit votes fold over the row-local token
+    hash array (one integer sum per bit), so the former token explode +
+    60-aggregate groupBy shuffle is gone -- token rows were doc-local
+    to begin with.  Vote totals are order-independent integer sums, so
+    the simhash is bit-identical to the explode formulation; docs whose
+    token array is empty/NULL produce no row, as explode dropped them.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t")
+    ).where(F.size("__t") > 0)
+    # staged: __hs consumed by SIMHASH_BITS non-cheap folds below
+    staged = base.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        F.transform(
+            "__t",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long"),
+        ).alias("__hs"),
     )
     one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+        F.aggregate(
+            "__hs",
+            zero,
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1)
+            .otherwise(-1),
+        )
         for i in range(SIMHASH_BITS)
     ]
-    agg = posting.groupBy("doc_id").agg(*votes)
     bit_terms = [
-        F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
-            F.lit(0).cast("long")
-        )
+        F.when(votes[i] > 0, F.shiftleft(one, i)).otherwise(zero)
         for i in range(SIMHASH_BITS)
     ]
     acc = bit_terms[0]
     for t in bit_terms[1:]:
         acc = acc.bitwiseOR(t)
-    return agg.select("doc_id", acc.alias("simhash"))
+    return staged.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_pairs(
@@ -531,8 +572,11 @@ def simhash_pairs(
     """
     k = max_hamming + 1
     width = SIMHASH_BITS // k
-    sh = simhash64(docs, id_col, text_col).persist()
+    sh = simhash64(docs, id_col, text_col)
 
+    # no persist: everything below funnels into ONE bucket-key exchange
+    # (window + self-join reuse it), so the map-only simhash above is
+    # computed exactly once per run anyway
     chunks = []
     for c in range(k):
         shift = c * width
@@ -594,12 +638,17 @@ def dup_clusters(
     one-join round is the right constant factor here.
     """
     # pin the edge list first: pairs is typically an expensive similarity
-    # join (shingle/LSH/GEMM) and every derivation below re-reads it --
-    # without this persist the upstream join recomputes once per
-    # consumer (nodes, edges, labels = up to 5 full replays)
+    # join (shingle/LSH/GEMM) and every derivation below re-reads it.
+    # localCheckpoint (eager) both computes it exactly once BEFORE the
+    # loop (a persist alone would let the first round's concurrent map
+    # stages race to fill the cache, each replaying the upstream join)
+    # and TRUNCATES the lineage: with plain persist the unrolled loop
+    # plan re-embedded the whole similarity subtree once per reference
+    # (324 parquet scans in the round-5 sf0.1 plan), charging the
+    # driver a full re-analysis every round (guide §3.3 / §7.3).
     pairs = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
-    ).persist()
+    ).localCheckpoint()
     nodes = (
         pairs.select(F.col("a").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("v")))
@@ -639,7 +688,6 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    pairs.unpersist()
     return labels.select(
         F.col("dst").alias("doc_id"), F.col("label").alias("canonical_id")
     )

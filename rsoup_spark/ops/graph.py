@@ -47,14 +47,18 @@ def pagerank_int(
     """
     scale = 12 ** iters
     n = nodes.select(F.col(id_col).alias("id"))
+    # the edge list (with out-degrees attached once, not re-joined per
+    # round) is read every iteration: checkpoint it so each round's
+    # plan starts from the materialized edges instead of re-embedding
+    # (and re-running) the edge-construction subtree `iters` times
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
     ranks = n.withColumn("pr_scaled", F.lit(int(scale)).cast("long"))
     base = scale // 2  # (1-d) * scale with d = 1/2
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
             # integer div; exact because pr_scaled at depth t is
             # divisible by 12^(iters-t) and 2*outdeg divides 12
             .select(
@@ -186,14 +190,19 @@ def resolve_aliases(
     mapping with itself via one left equi-join on the current node,
     so the shuffle count is ceil(log2(max_hops)) + 1, never
     max_hops, and each join keys on the URL (AQE handles hub skew).
-    No driver state beyond the loop counter; mappings persist across
-    rounds like dedup_clusters' edge frontier.
+    No driver state beyond the loop counter.  Each round's state is
+    local-checkpointed (eager): the state feeds the next round twice
+    (probe and build side of the self-composition), so checkpointing
+    computes it once, keeps every round's plan O(1) instead of
+    re-embedding the doubled lineage (guide §3.3), and leaves no
+    persisted frames behind (the round-5 version leaked
+    log2(max_hops)+1 cached DataFrames per call).
     """
     m = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
-        .persist()
+        .localCheckpoint()
     )
     # state: src -> (cur node after `hops` real hops, done = cur has
     # no outgoing edge).  Initial state is the one-hop mapping.
@@ -227,7 +236,7 @@ def resolve_aliases(
                     + F.coalesce(F.col("hops2"), F.lit(0))
                 ).alias("hops"),
             )
-            .persist()
+            .localCheckpoint()
         )
     # terminal iff cur has no outgoing edge AND the chain fit the cap
     out = (

@@ -41,6 +41,30 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pre(a, b, na, nb):
+    """Cosine with pre-factored norms: ``na``/``nb`` must hold exactly
+    ``_norm(a)``/``_norm(b)`` (as a column computed once per row, or a
+    Python float computed by the same sequential sum -- both are
+    bit-identical to the inline fold, so dot/(na*nb) equals
+    ``cosine(a, b)`` to the last ulp).  Factoring the norms out of a
+    per-pair expression turns O(pairs) norm folds into O(rows)
+    (guide §1.2 "per-task work"): the join-heavy rerank paths below
+    compute each vector's norm once instead of once per candidate."""
+    return _dot(a, b) / (na * nb)
+
+
+def _py_norm(vec) -> float:
+    """Driver-side twin of ``_norm``: the identical sequential
+    float64 fold (+ correctly-rounded sqrt), so a literal centroid
+    norm equals the JVM expression bit-for-bit."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,14 +79,19 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    # compute in float64: matches the DuckDB oracle's summation precision
+    # compute in float64: matches the DuckDB oracle's summation precision.
+    # norms are pre-factored per row (O(n + q) folds instead of O(n*q);
+    # _cos_pre is bit-identical to the inline cosine)
+    qv = F.col(vec_col).cast("array<double>")
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        qv.alias("qv"),
+        _norm(qv).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        qv.alias("cv"),
+        _norm(qv).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -70,7 +99,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -189,11 +221,13 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vec_d.alias("cv"),
+        _norm(vec_d).alias("cn"),
         F.posexplode(sig(vec_d)).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vec_d.alias("qv"),
+        _norm(vec_d).alias("qn"),
         F.posexplode(sig(vec_d)).alias("tbl", "bucket"),
     )
     scored = (
@@ -202,7 +236,10 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
         # a pair colliding in several tables must score once
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -240,12 +277,23 @@ def _cent_lit(vec):
 
 def _cell_assigner(cents):
     """argmax_centroid cosine, ties -> smallest centroid id; a per-row
-    JVM expression against broadcast centroid literals (map-only)."""
+    JVM expression against broadcast centroid literals (map-only).
 
-    def cell_of(vec_col_expr):
+    Centroid norms are Python-float literals (``_py_norm`` replays the
+    JVM fold bit-for-bit) and the row norm is passed in pre-computed,
+    so the n_cells-cosine argmax costs n_cells dots + ONE norm fold
+    per row instead of 2*n_cells folds -- the produced cell ids are
+    unchanged to the last ulp."""
+
+    def cell_of(vec_col_expr, norm_expr):
         structs = F.array(*[
             F.struct(
-                cosine(vec_col_expr, _cent_lit(r["cv"])).alias("cos"),
+                _cos_pre(
+                    vec_col_expr,
+                    _cent_lit(r["cv"]),
+                    norm_expr,
+                    F.lit(_py_norm(r["cv"])),
+                ).alias("cos"),
                 F.lit(-int(r["cid"])).alias("negcid"),
             )
             for r in cents
@@ -286,11 +334,16 @@ def ivf_topk(
                             centroid_stride)
     cell_of = _cell_assigner(cents)
 
-    def probes_of(vec_col_expr):
+    def probes_of(vec_col_expr, norm_expr):
         """n_probe nearest cells, cos desc then centroid id asc."""
         structs = F.array(*[
             F.struct(
-                (-cosine(vec_col_expr, _cent_lit(r["cv"]))).alias("negcos"),
+                (-_cos_pre(
+                    vec_col_expr,
+                    _cent_lit(r["cv"]),
+                    norm_expr,
+                    F.lit(_py_norm(r["cv"])),
+                )).alias("negcos"),
                 F.lit(int(r["cid"])).alias("cid"),
             )
             for r in cents
@@ -298,17 +351,28 @@ def ivf_topk(
         ordered = F.slice(F.sort_array(structs), 1, n_probe)
         return F.transform(ordered, lambda s: s["cid"])
 
-    c = corpus.select(
+    # staged projections: the norm fold is consumed by every centroid
+    # cosine AND the final rerank, so it lives in its own Project
+    # (CollapseProject keeps non-cheap multiply-consumed expressions
+    # staged) and is computed once per row
+    vd = F.col(vec_col).cast("array<double>")
+    cbase = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        cell_of(F.col(vec_col).cast("array<double>")),
+        vd.alias("cv"),
+        _norm(vd).alias("cn"),
     )
-    q = queries.select(
+    c = cbase.select(
+        "neighbor_id", "cv", "cn",
+        cell_of(F.col("cv"), F.col("cn")),
+    )
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode(probes_of(F.col(vec_col).cast("array<double>"))).alias(
-            "cell"
-        ),
+        vd.alias("qv"),
+        _norm(vd).alias("qn"),
+    )
+    q = qbase.select(
+        "query_id", "qv", "qn",
+        F.explode(probes_of(F.col("qv"), F.col("qn"))).alias("cell"),
     )
     # each neighbor lives in exactly one cell and a query's probe cells
     # are distinct, so (query, neighbor) pairs are already unique
@@ -318,7 +382,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -339,6 +406,7 @@ def semdedup(
     vec_col: str = "embedding",
     centroid_stride: int = 31,
     cell_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings and pruning within-cluster near-duplicates.
@@ -366,21 +434,30 @@ def semdedup(
     ``max_cos`` its best within-cell similarity to a lower anchor.
 
     The assignment subtree is referenced three times (anchors, probe
-    side, final left join); it is left declarative -- each re-read is
-    a column-pruned parquet scan plus 16 cosines/row, cheaper at
-    cluster scale than caching the vector column -- but a caller
-    iterating semdedup over one hot corpus should persist upstream.
+    side, final left join); with ``materialize=True`` (default) it is
+    computed ONCE and local-checkpointed -- the checkpoint both stops
+    the triple re-scan/re-assignment and truncates the (n_cells x dim
+    literal) expression tree out of the three downstream plans, which
+    otherwise pay its analysis/codegen three times.  Pass
+    ``materialize=False`` to keep the subtree declarative (e.g. when
+    the caller persisted upstream or executors are preemptible --
+    localCheckpoint is not fault-tolerant).
     """
     from pyspark.sql.window import Window
 
     cents = _pick_centroids(corpus, n_cells, id_col, vec_col,
                             centroid_stride)
     cell_of = _cell_assigner(cents)
-    assign = corpus.select(
+    base = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        cell_of(F.col(vec_col).cast("array<double>")),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
+    assign = base.select(
+        "vec_id", "v", "nv", cell_of(F.col("v"), F.col("nv"))
+    )
+    if materialize:
+        assign = assign.localCheckpoint()
     anchors = (
         assign.withColumn(
             "ar",
@@ -392,6 +469,7 @@ def semdedup(
         .select(
             F.col("vec_id").alias("aid"),
             F.col("v").alias("av"),
+            F.col("nv").alias("na"),
             "cell",
         )
     )
@@ -401,7 +479,10 @@ def semdedup(
         .select(
             "vec_id",
             "aid",
-            F.round(cosine(F.col("v"), F.col("av")), 6).alias("cos"),
+            F.round(
+                _cos_pre(F.col("v"), F.col("av"), F.col("nv"), F.col("na")),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .groupBy("vec_id")
@@ -500,9 +581,11 @@ def embedding_dup_pairs(
         # method to "gemm")
         T = n_tables
         sig = _sig_udf(n_planes, dim, T)
+        vd = F.col(vec_col).cast("array<double>")
         v = vectors.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+            vd.alias("v"),
+            _norm(vd).alias("nv"),
         )
         # candidates carry ids only: the (id, tbl, bucket) rows shuffled
         # by the bucket join are ~16 bytes each, T copies per vector --
@@ -522,15 +605,28 @@ def embedding_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b")
         )
-        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        va = v.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+        )
+        vb = v.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+        )
         return (
             cand.join(va, "id_a")
             .join(vb, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+                F.round(
+                    _cos_pre(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    ),
+                    6,
+                ).alias("cos"),
             )
             .where(F.col("cos") >= tau)
         )
@@ -548,17 +644,21 @@ def embedding_dup_pairs(
         [(pk, b) for pk, _a, b in pair_rows], "pk INT, b2 INT"
     )
 
+    vdb = F.col(vec_col).cast("array<double>")
     v = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        vdb.alias("v"),
+        _norm(vdb).alias("nv"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
     )
     left = v.join(F.broadcast(pairs), v["blk"] == pairs["ba"]).select(
-        F.col("id").alias("id_x"), F.col("v").alias("vx"), "pk", "ba", "bb"
+        F.col("id").alias("id_x"), F.col("v").alias("vx"),
+        F.col("nv").alias("nx"), "pk", "ba", "bb"
     )
     right = v.join(
         F.broadcast(pairs_r), v["blk"] == pairs_r["b2"]
-    ).select(F.col("id").alias("id_y"), F.col("v").alias("vy"), "pk")
+    ).select(F.col("id").alias("id_y"), F.col("v").alias("vy"),
+             F.col("nv").alias("ny"), "pk")
 
     if method == "gemm":
         margin = 1e-6
@@ -592,13 +692,16 @@ def embedding_dup_pairs(
             .cogroup(right.groupBy("pk"))
             .applyInPandas(score, "id_a LONG, id_b LONG")
         )
+        vd2 = F.col(vec_col).cast("array<double>")
         va = vectors.select(
             F.col(id_col).alias("id_a"),
-            F.col(vec_col).cast("array<double>").alias("va"),
+            vd2.alias("va"),
+            _norm(vd2).alias("na"),
         )
         vb = vectors.select(
             F.col(id_col).alias("id_b"),
-            F.col(vec_col).cast("array<double>").alias("vb"),
+            vd2.alias("vb"),
+            _norm(vd2).alias("nb"),
         )
         return (
             cand.join(va, "id_a")
@@ -606,7 +709,12 @@ def embedding_dup_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+                F.round(
+                    _cos_pre(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    ),
+                    6,
+                ).alias("cos"),
             )
             .where(F.col("cos") >= tau)
         )
@@ -620,7 +728,10 @@ def embedding_dup_pairs(
         joined.select(
             F.least("id_x", "id_y").alias("id_a"),
             F.greatest("id_x", "id_y").alias("id_b"),
-            F.round(cosine(F.col("vx"), F.col("vy")), 6).alias("cos"),
+            F.round(
+                _cos_pre(F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny")),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= tau)
     )
