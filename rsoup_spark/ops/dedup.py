@@ -417,6 +417,14 @@ def minhash_lsh_incremental(
     ).unionByName(
         sig_new.select("doc_id", "sig", F.lit(True).alias("is_new"))
     )
+    # materialize the combined signature table ONCE: the capped bucket
+    # join references it from up to three subtrees (both join sides +
+    # the star path) and the planner's broadcast conversion otherwise
+    # re-embeds -- and re-runs -- the whole explode + 64-min signature
+    # pipeline per reference (6 copies in the round-6 sf0.1 plan).
+    # This is also exactly what the operator models: a persisted
+    # signature index the increment probes.
+    all_sig = all_sig.localCheckpoint()
     buckets = _band_buckets(all_sig, num_hashes, bands, extra=["is_new"])
 
     if max_bucket_size is not None:

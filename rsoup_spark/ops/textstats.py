@@ -491,7 +491,11 @@ def decontaminate(
     eval side is deduped to one row per gram, so join fan-out is
     bounded by the true overlap; eval sets are small by definition, so
     that side is broadcast-pinned (broadcast-by-construction, not
-    by-AQE-statistics) and the training corpus never shuffles.
+    by-AQE-statistics) and the training corpus never shuffles: per-doc
+    gram dedup happens MAP-SIDE via ``array_distinct`` before the
+    explode (round 6; the former ``dropDuplicates([id, gram])``
+    shuffled the entire (doc, gram) posting stream for a dedup that is
+    doc-local by definition -- guide §2.4).
     """
 
     def doc_grams(df: DataFrame) -> DataFrame:
@@ -504,8 +508,8 @@ def decontaminate(
             ),
         ).otherwise(F.expr("array()").cast("array<string>"))
         return df.select(
-            F.col(id_col), F.explode(grams).alias("gram")
-        ).dropDuplicates([id_col, "gram"])
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+        )
 
     eval_grams = doc_grams(eval_docs).select("gram").distinct()
     return (
@@ -903,6 +907,12 @@ def corpus_clean(
         F.col("keep").alias("keep_gopher"),
         doc_fingerprint(F.col("clean_text")).alias("__fp"),
     )
+    # gop is read twice (dedup window input + final left side) and is
+    # the expensive part -- the full C4 + Gopher text pass.  Its output
+    # is narrow (id, count, flags, fingerprint -- no text), so
+    # materializing it once is cheap at any scale; without this the
+    # planner re-ran the whole text pass per reference.
+    gop = gop.localCheckpoint()
     passed = gop.where(F.col("keep_c4") & F.col("keep_gopher"))
     w = Window.partitionBy("__fp").orderBy(id_col)
     canon = (
@@ -984,6 +994,12 @@ def lm_surprise(
     ).select(F.col(id_col), "__train", F.col("bg.w1").alias("w1"),
              F.col("bg.w2").alias("w2"))
     train = bigrams.where(F.col("__train"))
+    # (round 6 note: deriving c1 = sum_w2 c2 and the vocab from a
+    # persisted c2 -- one training pass instead of three -- measured
+    # SLOWER here: the three independent aggregations run as parallel
+    # stages of one job, while the derived form serializes them behind
+    # the c2 exchange and races its cache fill.  Kept the parallel
+    # three-pass form.)
     c2 = train.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c2")
     )

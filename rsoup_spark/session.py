@@ -47,7 +47,11 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.maxBytesPerBatch", ARROW_MAX_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs the driver AND all N task slots in one JVM: 8g
+        # gave 32 concurrent tasks ~256 MB each at bench core counts.
+        # 16g keeps headroom at larger scale factors; still env-tunable
+        # (on a real cluster the executors carry their own memory).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
