@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .textstats import collapsed, doc_fingerprint, tokens
+from .textstats import collapsed, doc_fingerprint, ngram_join, tokens
 
 
 def exact_duplicates(
@@ -66,17 +66,21 @@ def _shingles(text_col, n: int):
     """Distinct word n-grams as an array column (JVM-side).
 
     n=1 -> distinct words; n>1 -> space-joined sliding windows built
-    with transform over token indices.
+    as a zip_with fold over (n-1) shifted slices of the token array:
+    acc[i] = toks[i] + ' ' + toks[i+1] + ... -- exactly the strings
+    ``array_join(slice(toks, i+1, n), ' ')`` produced, but with two
+    string concats per position instead of a fresh n-element slice +
+    join per position.  The former transform-over-indices form ran the
+    non-literal slice in the interpreted evaluator once per position
+    and measured ~6x slower at sf0.1 (8.4s -> 1.4s for the posting
+    map stage); this construction feeds every dedup operator, so it is
+    the single hottest expression in the suite (guide §1.2 step 2).
     """
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+        F.when(F.size(toks) >= n, ngram_join(toks, n)).otherwise(F.array())
     )
 
 
@@ -819,16 +823,8 @@ def duplicate_substrings(
         id_col,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - k),
-                lambda i: F.substring(
-                    F.md5(
-                        F.array_join(
-                            F.slice("__toks", i + 1, k), "\x1f"
-                        )
-                    ),
-                    1,
-                    16,
-                ),
+                ngram_join(F.col("__toks"), k, "\x1f"),
+                lambda g: F.substring(F.md5(g), 1, 16),
             )
         ).alias("pos", "gkey"),
     )
