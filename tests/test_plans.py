@@ -82,17 +82,34 @@ def test_emb_dup_gemm_is_cogrouped_python(spark):
 
 @pytest.mark.spark
 def test_emb_dup_lsh_gate_is_bucketed(spark):
-    """The gate's LSH default must be bucket-join shaped: one vectorized
+    """The LSH default must be bucket-join shaped: one vectorized
     Arrow signature stage (ArrowEvalPython), no cogrouped all-pairs
-    scorer, no Cartesian anywhere."""
+    scorer, no Cartesian anywhere.  Plan shape is asserted on the
+    declarative (materialize=False) form; the gate default
+    (materialize=True) eagerly checkpoints the signature table, so its
+    downstream plan shows checkpoint scans instead -- asserted too,
+    because that is exactly the point (the ArrowEvalPython subtree must
+    NOT be re-embedded into both sides of the bucket self-join)."""
+    from pyspark.sql import functions as F
+
     import __spark_entry__ as e
+    from rsoup_spark.ops.similarity import embedding_dup_pairs
     from rsoup_spark.plans.review import plan_text
 
-    plan = plan_text(e.q_emb_dup_pairs(spark, SF_SMALL))
+    emb = e.load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plan = plan_text(embedding_dup_pairs(emb, tau=0.95, materialize=False))
     assert "ArrowEvalPython" in plan
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # gate default: the signature stage is materialized once -- no
+    # Python evaluation (and no duplicated GEMM) left in the final plan
+    plan_gate = plan_text(e.q_emb_dup_pairs(spark, SF_SMALL))
+    assert "ArrowEvalPython" not in plan_gate
+    assert "FlatMapCoGroupsInPandas" not in plan_gate
+    assert "CartesianProduct" not in plan_gate
 
 
 @pytest.mark.spark
@@ -171,9 +188,12 @@ def test_emb_dup_low_tau_falls_back_to_gemm(spark):
     plan = plan_text(embedding_dup_pairs(emb, tau=0.3, method="lsh"))
     assert "FlatMapCoGroupsInPandas" in plan  # the GEMM cogroup stage
     assert "CartesianProduct" not in plan
-    # an explicit n_tables still means what it says (no fallback)
+    # an explicit n_tables still means what it says (no fallback);
+    # materialize=False keeps the signature stage visible in the plan
     plan2 = plan_text(
-        embedding_dup_pairs(emb, tau=0.3, method="lsh", n_tables=4)
+        embedding_dup_pairs(
+            emb, tau=0.3, method="lsh", n_tables=4, materialize=False
+        )
     )
     assert "FlatMapCoGroupsInPandas" not in plan2
     assert "ArrowEvalPython" in plan2
