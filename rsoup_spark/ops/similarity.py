@@ -271,8 +271,32 @@ def _pick_centroids(corpus, n_cells, id_col, vec_col, centroid_stride):
     )
 
 
-def _cent_lit(vec):
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal
+    that round-trips the IEEE value, and Spark parses double literals
+    with correctly-rounded ``Double.parseDouble``, so the parsed
+    constant is the identical bits."""
+    return repr(float(x)) + "D"
+
+
+def _sql_int(x: int) -> str:
+    """SQL integer literal with the same type ``F.lit(int)`` produced:
+    IntegerType when it fits, LongType (L suffix) otherwise."""
+    return str(int(x)) + ("" if -(2**31) <= int(x) < 2**31 else "L")
+
+
+def _cent_arrays_sql(cents) -> tuple[str, str]:
+    """(centroid matrix, centroid norms) as SQL array-literal text.
+    Norms are Python-float literals (``_py_norm`` replays the JVM fold
+    bit-for-bit)."""
+    mat = "array(" + ",".join(
+        "array(" + ",".join(_sql_double(v) for v in r["cv"]) + ")"
+        for r in cents
+    ) + ")"
+    norms = "array(" + ",".join(
+        _sql_double(_py_norm(r["cv"])) for r in cents
+    ) + ")"
+    return mat, norms
 
 
 def _cell_assigner(cents):
@@ -283,23 +307,35 @@ def _cell_assigner(cents):
     JVM fold bit-for-bit) and the row norm is passed in pre-computed,
     so the n_cells-cosine argmax costs n_cells dots + ONE norm fold
     per row instead of 2*n_cells folds -- the produced cell ids are
-    unchanged to the last ulp."""
+    unchanged to the last ulp.
 
-    def cell_of(vec_col_expr, norm_expr):
-        structs = F.array(*[
-            F.struct(
-                _cos_pre(
-                    vec_col_expr,
-                    _cent_lit(r["cv"]),
-                    norm_expr,
-                    F.lit(_py_norm(r["cv"])),
-                ).alias("cos"),
-                F.lit(-int(r["cid"])).alias("negcid"),
-            )
-            for r in cents
-        ])
-        best = F.array_max(structs)
-        return (-best["negcid"]).alias("cell")
+    The whole argmax is built as ONE ``F.expr`` over SQL text instead
+    of per-centroid Python column algebra: the former unrolled
+    construction (64 ``F.lit`` + two HOF lambdas per centroid) issued
+    ~2000 driver-blocking py4j calls and cost 1.0-2.3s of QUERY
+    CONSTRUCTION per ivf/semdedup invocation -- more than their
+    execution; one parsed expression is ~2ms (guide §7.3: planning
+    overhead is driver-side, single-threaded).  The SQL ``aggregate/
+    zip_with`` lambdas lower to the identical Catalyst nodes as the
+    Python HOFs, and the fold order per centroid is unchanged, so
+    every cosine -- and therefore every cell id -- is bit-identical
+    (asserted by tests against the unrolled form).  Takes column NAMES
+    (resolved in the caller's projection scope)."""
+    mat, norms = _cent_arrays_sql(cents)
+    negcids = "array(" + ",".join(
+        _sql_int(-int(r["cid"])) for r in cents
+    ) + ")"
+
+    def cell_of(vec_name: str, norm_name: str):
+        e = (
+            "-(array_max(zip_with(zip_with(" + mat + ", " + norms + ", "
+            "(cv, cn) -> struct(cv as cv, cn as cn)), " + negcids + ", "
+            "(cc, ncid) -> struct("
+            "aggregate(zip_with(" + vec_name + ", cc.cv, (x, y) -> x * y), "
+            "0.0D, (acc, w) -> acc + w) / (" + norm_name + " * cc.cn) "
+            "as cos, ncid as negcid))).negcid)"
+        )
+        return F.expr(e).alias("cell")
 
     return cell_of
 
@@ -333,23 +369,22 @@ def ivf_topk(
     cents = _pick_centroids(corpus, n_cells, id_col, vec_col,
                             centroid_stride)
     cell_of = _cell_assigner(cents)
+    mat, norms = _cent_arrays_sql(cents)
+    cids = "array(" + ",".join(_sql_int(int(r["cid"])) for r in cents) + ")"
 
-    def probes_of(vec_col_expr, norm_expr):
-        """n_probe nearest cells, cos desc then centroid id asc."""
-        structs = F.array(*[
-            F.struct(
-                (-_cos_pre(
-                    vec_col_expr,
-                    _cent_lit(r["cv"]),
-                    norm_expr,
-                    F.lit(_py_norm(r["cv"])),
-                )).alias("negcos"),
-                F.lit(int(r["cid"])).alias("cid"),
-            )
-            for r in cents
-        ])
-        ordered = F.slice(F.sort_array(structs), 1, n_probe)
-        return F.transform(ordered, lambda s: s["cid"])
+    def probes_of(vec_name: str, norm_name: str):
+        """n_probe nearest cells, cos desc then centroid id asc --
+        one parsed SQL expression (see ``_cell_assigner`` for why)."""
+        e = (
+            "transform(slice(sort_array(zip_with(zip_with(" + mat + ", "
+            + norms + ", (cv, cn) -> struct(cv as cv, cn as cn)), "
+            + cids + ", (cc, cid) -> struct("
+            "-(aggregate(zip_with(" + vec_name + ", cc.cv, (x, y) -> x * y), "
+            "0.0D, (acc, w) -> acc + w) / (" + norm_name + " * cc.cn)) "
+            "as negcos, cid as cid))), 1, " + str(int(n_probe)) + "), "
+            "s -> s.cid)"
+        )
+        return F.expr(e)
 
     # staged projections: the norm fold is consumed by every centroid
     # cosine AND the final rerank, so it lives in its own Project
@@ -363,7 +398,7 @@ def ivf_topk(
     )
     c = cbase.select(
         "neighbor_id", "cv", "cn",
-        cell_of(F.col("cv"), F.col("cn")),
+        cell_of("cv", "cn"),
     )
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
@@ -372,7 +407,7 @@ def ivf_topk(
     )
     q = qbase.select(
         "query_id", "qv", "qn",
-        F.explode(probes_of(F.col("qv"), F.col("qn"))).alias("cell"),
+        F.explode(probes_of("qv", "qn")).alias("cell"),
     )
     # each neighbor lives in exactly one cell and a query's probe cells
     # are distinct, so (query, neighbor) pairs are already unique
@@ -454,7 +489,7 @@ def semdedup(
         _norm(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
     assign = base.select(
-        "vec_id", "v", "nv", cell_of(F.col("v"), F.col("nv"))
+        "vec_id", "v", "nv", cell_of("v", "nv")
     )
     if materialize:
         assign = assign.localCheckpoint()

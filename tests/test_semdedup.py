@@ -64,3 +64,60 @@ def test_cell_cap_bounds_anchors(spark):
     got = _run(spark, CAPPED, threshold=0.95, cell_cap=2)
     assert got[2]["keep"]
     assert not got[3]["keep"] and got[3]["dup_of"] == 2
+
+
+@pytest.mark.spark
+def test_sql_assigner_bitwise_matches_python_fold(spark):
+    """The cell argmax is built as one parsed SQL expression (round-6
+    construction-cost fix); its cosines must equal the sequential
+    float64 fold bit-for-bit, so cell choice can never drift from the
+    documented semantics.  Python floats ARE IEEE doubles and the
+    reference below replays the exact fold order (dot left-fold over
+    dims, norm fold + sqrt, one divide), so equality is exact, not
+    approximate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rsoup_spark.ops.similarity import (
+        _cell_assigner,
+        _norm,
+        _pick_centroids,
+        _py_norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = _pick_centroids(emb, 16, "vec_id", "embedding", 31)
+    cell_of = _cell_assigner(cents)
+    vd = F.col("embedding").cast("array<double>")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", vd.alias("v"), _norm(vd).alias("nv")
+        )
+        .select("vec_id", cell_of("v", "nv"))
+        .collect()
+    }
+
+    cmat = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents]
+    cnorms = {cid: _py_norm(cv) for cid, cv in cmat}
+    for row in emb.collect():
+        v = [float(x) for x in row["embedding"]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nv = math.sqrt(acc)
+        best_cos, best_cid = None, None
+        for cid, cv in cmat:
+            dot = 0.0
+            for x, w in zip(v, cv):
+                dot = dot + x * w
+            cos = dot / (nv * cnorms[cid])
+            # array_max picks max (cos, negcid) -> ties to smaller cid
+            if (
+                best_cos is None
+                or cos > best_cos
+                or (cos == best_cos and cid < best_cid)
+            ):
+                best_cos, best_cid = cos, cid
+        assert got[row["vec_id"]] == best_cid, row["vec_id"]
