@@ -332,10 +332,13 @@ def minhash_lsh_pairs(
     ).distinct()
 
     if verify == "jaccard":
+        # the shingle table feeds BOTH verify join sides; materialize it
+        # once or each side re-tokenizes the corpus (two full text
+        # passes for one logical computation)
         sh = docs.select(
             F.col(id_col).alias("doc_id"),
             _shingles(F.col(text_col), ngram).alias("sh"),
-        )
+        ).localCheckpoint()
         ja = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
         jb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -465,10 +468,12 @@ def minhash_lsh_incremental(
     if verify == "jaccard":
         if corpus_docs is None:
             raise ValueError("verify='jaccard' needs corpus_docs")
+        # materialized once: both verify join sides read it (same
+        # rationale as minhash_lsh_pairs' verify path)
         sh = corpus_docs.select(
             F.col(id_col).alias("doc_id"),
             _shingles(F.col(text_col), ngram).alias("sh"),
-        )
+        ).localCheckpoint()
         ja = sh.select(F.col("doc_id").alias("id_a"),
                        F.col("sh").alias("sh_a"))
         jb = sh.select(F.col("doc_id").alias("id_b"),
@@ -680,23 +685,29 @@ def dup_clusters(
     labels = nodes.select(
         F.col("v").alias("dst"), F.col("v").alias("label")
     ).persist()
+    cached = labels
     for _ in range(max_rounds):
-        new_labels = (
+        # ONE join per round: the neighborhood min and the node's OLD
+        # label come out of the same edges-to-labels join -- the
+        # self-loop row (dst == src, always present by construction)
+        # carries src's own previous label, so the former second
+        # "compare new vs old" join is folded into the aggregate and
+        # each round is one shuffle + one count action (guide §2.4).
+        agg = (
             edges.join(labels, "dst")
             .groupBy("src")
-            .agg(F.min("label").alias("label"))
-            .withColumnRenamed("src", "dst")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("old"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "dst"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = agg.where(F.col("label") != F.col("old")).count()
+        cached.unpersist()
+        cached = agg
+        labels = agg.select(F.col("src").alias("dst"), "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -46,7 +46,11 @@ def pagerank_int(
     partitioning; AQE handles skewed in-degree hubs).
     """
     scale = 12 ** iters
-    n = nodes.select(F.col(id_col).alias("id"))
+    # the node table is read iters+1 times (initial ranks + each
+    # round's dangling-node left join); materialize the tiny (id)
+    # projection once instead of re-running its source subtree per
+    # reference (same rationale as the edge checkpoint below)
+    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
     # the edge list (with out-degrees attached once, not re-joined per
     # round) is read every iteration: checkpoint it so each round's
     # plan starts from the materialized edges instead of re-embedding
