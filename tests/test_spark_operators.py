@@ -499,3 +499,36 @@ def test_duplicate_substrings_fuzz_vs_bruteforce(spark):
         duplicate_substrings(df, k=k, min_len=min_len).collect()
     )
     assert got == brute(docs)
+
+
+@pytest.mark.spark
+def test_simhash_vectorized_equals_expr_reference(spark):
+    """The vectorized simhash64 (hashlib + numpy popcount) must equal
+    the SQL-expressible reference construction simhash64_expr exactly
+    -- including on the tokenization edge cases where Java and Python
+    string semantics diverge if replicated sloppily: unicode whitespace
+    (Java \\s is ASCII-only), tab/control chars (Spark trim strips
+    0x20 only), empty text (split('') -> ['']), and NULL (no row)."""
+    from rsoup_spark.ops.dedup import simhash64, simhash64_expr
+
+    hostile = [
+        (1, "plain words here"),
+        (2, ""),                      # [''] single empty token
+        (3, None),                    # no row
+        (4, "a b"),              # unicode NBSP: ONE token in Java \s
+        (5, "\tleading tab"),         # trim keeps \t; split yields ['', ...]
+        (6, "trailing space "),
+        (7, "a  b\t\tc\nd"),
+        (8, "word " * 200),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id LONG, text STRING")
+    ref = {(r["doc_id"], r["simhash"])
+           for r in simhash64_expr(df).collect()}
+    got = {(r["doc_id"], r["simhash"]) for r in simhash64(df).collect()}
+    assert got == ref
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref2 = {(r["doc_id"], r["simhash"])
+            for r in simhash64_expr(corpus).collect()}
+    got2 = {(r["doc_id"], r["simhash"]) for r in simhash64(corpus).collect()}
+    assert got2 == ref2
