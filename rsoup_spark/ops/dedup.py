@@ -319,12 +319,17 @@ def minhash_lsh_pairs(
     star instead of all pairs -- see ``_capped_bucket_pairs``.  The
     1000 default mirrors ``jaccard_pairs``' df cap; None disables.
     """
-    sig = minhash_signatures(docs, id_col, text_col, ngram, num_hashes)
-    if verify != "jaccard":
-        # signature verify reads sig three times (buckets + both join
-        # sides); jaccard verify reads it once, so persisting would
-        # only add memory-store traffic
-        sig = sig.persist()
+    # materialize the signature table once: the capped bucket pipeline
+    # alone references it from up to three subtrees (window-sized
+    # buckets, the broadcast-converted self-join side, the star path --
+    # no ReusedExchange saves it, the planner re-embeds and re-runs the
+    # explode + 64-min aggregate per reference), and signature verify
+    # adds both join sides on top.  An eager localCheckpoint beats
+    # persist here: it also truncates the signature subtree out of the
+    # downstream plans (measured 3.0s -> 2.4s at sf0.1, verify=jaccard)
+    sig = minhash_signatures(
+        docs, id_col, text_col, ngram, num_hashes
+    ).localCheckpoint()
     buckets = _band_buckets(sig, num_hashes, bands)
 
     cand = _capped_bucket_pairs(
@@ -661,9 +666,11 @@ def simhash_pairs(
     width = SIMHASH_BITS // k
     sh = simhash64(docs, id_col, text_col)
 
-    # no persist: everything below funnels into ONE bucket-key exchange
-    # (window + self-join reuse it), so the map-only simhash above is
-    # computed exactly once per run anyway
+    # no checkpoint: the planner does re-embed the simhash subtree into
+    # the window / broadcast-join-side / star branches (3 runs), but the
+    # vectorized stage is ~0.4s at sf0.1 and an eager checkpoint barrier
+    # measured exactly neutral (2.03s vs 2.04s) -- not worth losing the
+    # declarative plan.  Revisit if the signature stage grows.
     chunks = []
     for c in range(k):
         shift = c * width
