@@ -91,16 +91,32 @@ def jaccard_pairs(
     ngram: int = 1,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """All unordered doc pairs with shingle-set Jaccard >= threshold.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
     decimals for portable comparison.
-    """
+
+    ``materialize=True`` local-checkpoints the (doc_id, shingle-array)
+    table: the posting stream derived from it is consumed by up to
+    three subtrees (the df-cap count, and both self-join sides when
+    the planner's broadcast conversion duplicates them) and each
+    otherwise re-tokenizes the corpus.  Checkpointing the ARRAY table
+    (one row per doc) rather than the exploded posting stream keeps
+    the barrier cheap -- a posting-stream checkpoint was measured
+    SLOWER (4.96 -> 5.90s) while this one wins (4.06 -> 2.98s at
+    sf0.1).  Pass False to stay declarative (the checkpoint is
+    corpus-shaped, roughly tokenized-text-sized; on a cluster where
+    three codegen re-scans of the source are cheaper than
+    materializing that much, or executors are preemptible, the
+    declarative form is the right call)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         _shingles(F.col(text_col), ngram).alias("shingles"),
     )
+    if materialize:
+        base = base.localCheckpoint()
     # carry the full (pre-cap) shingle-set size on each posting row: +8
     # bytes per row in the shuffle buys away two doc-id joins afterwards
     # (a sizes side-table is one row per doc -- not broadcastable at 1e9
