@@ -115,5 +115,11 @@ def get_spark(
         and os.environ.get("SPARK_GRAFT_NO_WARM", "") != "1"
     ):
         _WARMED.add(app_id)
-        _warm_session(spark)
+        try:
+            _warm_session(spark)
+        except Exception:
+            # priming is an optimization; a session that cannot run the
+            # warm-up job must still be handed to the caller (whose own
+            # query will surface the real error with its own context)
+            pass
     return spark
