@@ -223,6 +223,7 @@ def _capped_bucket_pairs(
     key_cols: list,
     max_bucket_size: int | None,
     payload: str | None = None,
+    materialize: bool = True,
 ):
     """Self-join candidate pairs within buckets, with hot buckets
     (> ``max_bucket_size`` rows) collapsed to a star on the bucket's
@@ -249,9 +250,19 @@ def _capped_bucket_pairs(
     if max_bucket_size is not None:
         w = Window.partitionBy(*key_cols)
         rep_struct = F.min(F.struct("doc_id", *pay)).over(w)
+        # the windowed bucket table feeds THREE subtrees (both self-join
+        # sides + the star path) and the planner re-embeds -- and
+        # re-runs -- the explode + exchange + window per reference (3
+        # Window nodes in the un-materialized plan, no ReusedExchange).
+        # One eager checkpoint computes it once; the table is skinny
+        # (ids + band keys + size), bands x corpus rows.
+        # materialize=False keeps the declarative single-window shape
+        # (plan-asserted in tests).
         sized = buckets.withColumn(
             "__bsz", F.count("*").over(w)
         ).withColumn("__rep", rep_struct)
+        if materialize:
+            sized = sized.localCheckpoint()
         ok = sized.where(F.col("__bsz") <= max_bucket_size).drop(
             "__bsz", "__rep"
         )
@@ -457,9 +468,12 @@ def minhash_lsh_incremental(
 
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "key")
+        # materialized once for the same reason as _capped_bucket_pairs:
+        # the ok/star/self-join consumers otherwise re-run the band
+        # explode + window three times (3 Window nodes in the plan)
         sized = buckets.withColumn(
             "__bsz", F.count("*").over(w)
-        ).withColumn("__rep", F.min("doc_id").over(w))
+        ).withColumn("__rep", F.min("doc_id").over(w)).localCheckpoint()
         ok = sized.where(F.col("__bsz") <= max_bucket_size).drop(
             "__bsz", "__rep"
         )

@@ -65,6 +65,28 @@ def _warm_session(spark: SparkSession) -> None:
         .save()
     )
 
+    # pre-import the extraction stack in every pooled Python worker
+    # (one task per slot): reused workers keep sys.modules, so the
+    # first real extraction task stops paying the package import.
+    # Measured ~0.3-0.4s off the first extraction query.  Loads code
+    # only -- no data, nothing keyed on any input.
+    def _imp(batches):
+        from rsoup_spark.functions.urlnorm import canonicalize_url  # noqa
+        from rsoup_spark.operators.extract import spans_from_html  # noqa
+
+        for pdf in batches:
+            yield pdf
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, par, 1, par)
+        .select(F.col("id").cast("string").alias("s"))
+        .mapInPandas(_imp, "s string")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
 
 def get_spark(
     app_name: str = "rsoup-spark",

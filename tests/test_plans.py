@@ -218,15 +218,32 @@ def test_lsh_hot_bucket_cap_single_window_pass(spark):
     """The band-bucket cap must ride the self-join's own (band, key)
     partitioning: sizes/representatives come from a window over the
     bucket key -- no Python stage and no Cartesian product appear."""
-    from rsoup_spark.ops.dedup import minhash_lsh_pairs
+    from rsoup_spark.ops.dedup import (
+        _band_buckets,
+        _capped_bucket_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
     from rsoup_spark.plans.review import plan_text
     from rsoup_spark.sources.docs import load_table
 
     docs = load_table(spark, SF_SMALL, "documents")
+    # gate path (sized bucket table eagerly materialized): still no
+    # Cartesian and no Python pair stage anywhere
     plan = plan_text(minhash_lsh_pairs(docs, max_bucket_size=100))
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(band" in plan
-    assert "hashpartitioning(band" in plan
+    assert "BatchEvalPython" not in plan
+    # declarative cap shape: sizes/representatives from ONE window over
+    # the bucket key, co-partitioned with the self-join
+    buckets = _band_buckets(minhash_signatures(docs), 64, 16)
+    plan2 = plan_text(
+        _capped_bucket_pairs(
+            buckets, ["band", "key"], 100, materialize=False
+        )
+    )
+    assert "CartesianProduct" not in plan2
+    assert "windowspecdefinition(band" in plan2
+    assert "hashpartitioning(band" in plan2
 
 
 @pytest.mark.spark
